@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The synthetic corpus (pages / frontier / index_state) is derived
+deterministically from the driver's ``documents`` view with pure
+column expressions (ftw_crawler_ray/sources/pages.py), so every
+crawl-pipeline stage has an exact ANSI-SQL oracle over the
+pre-registered DuckDB views. Column names match 1:1 between each
+``queries()`` entry and its ``oracle_sql()`` string.
 """
 
 from __future__ import annotations
@@ -18,27 +16,245 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------------------
+# Shared SQL fragments — the DuckDB re-synthesis of the corpus.
+# Must mirror ftw_crawler_ray/sources/pages.py exactly.
+# ---------------------------------------------------------------------------
+
+SQL_RESOURCES = r"""
+resources AS (
+    SELECT
+        doc_id,
+        'h' || (doc_id % 41) || '.example.org' AS site_id,
+        'http://h' || (doc_id % 41) || '.example.org/docs/page-' || doc_id AS url,
+        TIMESTAMP '2020-01-01' + doc_id * INTERVAL 1 MINUTE AS warc_ts,
+        'Doc ' || doc_id AS title,
+        trim(regexp_replace('Doc ' || doc_id || chr(10) || text, '\s+', ' ', 'g')) AS searchable,
+        CASE WHEN doc_id % 3 = 2 THEN NULL
+             ELSE strftime(TIMESTAMP '2020-01-01' + doc_id * INTERVAL 1 MINUTE,
+                           '%Y-%m-%dT%H:%M:%S') END AS lastmod,
+        CASE WHEN doc_id % 5 = 0 THEN 'daily' END AS changefreq,
+        CASE WHEN doc_id % 7 = 0 THEN '1.0' ELSE '0.5' END AS priority,
+        CASE WHEN doc_id % 13 = 0
+             THEN 'http://h' || (doc_id % 41) || '.example.org/docs/page-'
+                  || doc_id || '?target=1' END AS target,
+        doc_id AS seq,
+        lang
+    FROM documents
+)
+"""
+
+SQL_UID = (
+    "substr(md5({u}), 1, 8) || '-' || substr(md5({u}), 9, 4) || '-' || "
+    "substr(md5({u}), 13, 4) || '-' || substr(md5({u}), 17, 4) || '-' || "
+    "substr(md5({u}), 21, 12)"
+)
+
+SQL_INDEX_STATE = r"""
+index_state AS (
+    SELECT u.url,
+           u.last_modified,
+           u.crawler_site_id
+    FROM (
+        SELECT 'http://h' || (doc_id % 41) || '.example.org/docs/page-' || doc_id AS url,
+               TIMESTAMP '2020-01-01' + doc_id * INTERVAL 1 MINUTE
+                   + CASE WHEN doc_id % 6 = 0 THEN INTERVAL 1 DAY
+                          ELSE - INTERVAL 1 DAY END AS last_modified,
+               'h' || (doc_id % 41) || '.example.org' AS crawler_site_id
+        FROM documents WHERE doc_id % 6 IN (0, 3)
+        UNION ALL
+        SELECT 'http://h' || (doc_id % 41) || '.example.org/docs/gone-' || doc_id,
+               TIMESTAMP '2020-01-01' + doc_id * INTERVAL 1 MINUTE,
+               'h' || (doc_id % 41) || '.example.org'
+        FROM documents WHERE doc_id % 11 = 0
+        UNION ALL
+        SELECT 'http://other.example.net/docs/page-' || doc_id,
+               TIMESTAMP '2020-01-01' + doc_id * INTERVAL 1 MINUTE,
+               'other.example.net'
+        FROM documents WHERE doc_id % 19 = 0
+    ) u
+)
+"""
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full 20-field extraction over sf0.001 (SURVEY.md §7.0)."""
+    from ftw_crawler_ray.pipelines.extract import extract_pipeline
+
+    return extract_pipeline("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries() — Ray Data implementations
+# ---------------------------------------------------------------------------
+
+
+def _q_extract_pages(sf_dir: str):
+    from ftw_crawler_ray.pipelines.extract import extract_pipeline
+
+    ds = extract_pipeline(sf_dir)
+    return ds.select_columns(
+        [
+            "url",
+            "UID",
+            "getId",
+            "getRemoteUrl",
+            "path_string",
+            "Title",
+            "SearchableText",
+            "snippetText",
+            "portal_type",
+            "object_type",
+            "site_area",
+            "created",
+            "modified",
+            "effective",
+            "expires",
+            "showinsearch",
+        ]
+    )
+
+
+def _q_frontier_build(sf_dir: str):
+    from ftw_crawler_ray.sources.pages import read_frontier
+
+    return read_frontier(sf_dir)
+
+
+def _q_frontier_join_index(sf_dir: str):
+    from ftw_crawler_ray.stages.incremental import join_index_state
+
+    return join_index_state(sf_dir)
+
+
+def _q_fetch_candidates(sf_dir: str):
+    from ftw_crawler_ray.stages.incremental import fetch_candidates
+
+    return fetch_candidates(sf_dir)
+
+
+def _q_purge_candidates(sf_dir: str):
+    from ftw_crawler_ray.stages.purge import purge_candidates
+
+    return purge_candidates(sf_dir)
+
+
+def _q_host_stats(sf_dir: str):
+    from ftw_crawler_ray.stages.stats import host_stats
+
+    return host_stats(sf_dir)
+
+
+def _q_dedup_exact(sf_dir: str):
+    from ftw_crawler_ray.stages.dedup import dedup_exact
+
+    return dedup_exact(sf_dir)
+
+
+def _q_token_count(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import token_counts
+
+    return token_counts(sf_dir)
+
+
+def _q_window_events(sf_dir: str):
+    from ftw_crawler_ray.stages.window import hourly_event_stats
+
+    return hourly_event_stats(sf_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "extract_pages": _q_extract_pages,
+        "frontier_build": _q_frontier_build,
+        "frontier_join_index": _q_frontier_join_index,
+        "fetch_candidates": _q_fetch_candidates,
+        "purge_candidates": _q_purge_candidates,
+        "host_stats": _q_host_stats,
+        "dedup_exact": _q_dedup_exact,
+        "token_count": _q_token_count,
+        "window_events": _q_window_events,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB equivalents over the registered views
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    uid = SQL_UID.format(u="url")
+    return {
+        "extract_pages": f"""
+WITH {SQL_RESOURCES}
+SELECT
+    url,
+    {uid} AS "UID",
+    'page-' || doc_id AS "getId",
+    coalesce(target, url) AS "getRemoteUrl",
+    url AS path_string,
+    title AS "Title",
+    searchable AS "SearchableText",
+    CASE WHEN starts_with(searchable, title)
+         THEN ltrim(searchable, title) ELSE searchable END AS "snippetText",
+    'ContentPage' AS portal_type,
+    'CONTENT_PAGE' AS object_type,
+    site_id AS site_area,
+    coalesce(CAST(lastmod AS TIMESTAMP), TIMESTAMP '2021-01-01') AS created,
+    coalesce(CAST(lastmod AS TIMESTAMP), TIMESTAMP '2021-01-01') AS modified,
+    TIMESTAMP '2021-01-01' AS effective,
+    TIMESTAMP '2050-12-31' AS expires,
+    TRUE AS showinsearch
+FROM resources
+""",
+        "frontier_build": f"""
+WITH {SQL_RESOURCES}
+SELECT url, lastmod, changefreq, priority, target, site_id, seq
+FROM resources
+""",
+        "frontier_join_index": f"""
+WITH {SQL_RESOURCES}, {SQL_INDEX_STATE}
+SELECT r.url, r.lastmod, r.seq, i.last_modified AS last_indexed
+FROM resources r LEFT JOIN index_state i ON r.url = i.url
+""",
+        "fetch_candidates": f"""
+WITH {SQL_RESOURCES}, {SQL_INDEX_STATE}
+SELECT r.url, r.seq
+FROM resources r LEFT JOIN index_state i ON r.url = i.url
+WHERE i.last_modified IS NULL
+   OR r.lastmod IS NULL
+   OR CAST(r.lastmod AS TIMESTAMP) > i.last_modified
+""",
+        "purge_candidates": f"""
+WITH {SQL_RESOURCES}, {SQL_INDEX_STATE}
+SELECT {SQL_UID.format(u="i.url")} AS uid, i.url
+FROM index_state i
+LEFT JOIN (SELECT DISTINCT lower(url) AS lurl FROM resources) f
+       ON lower(i.url) = f.lurl
+WHERE f.lurl IS NULL
+  AND regexp_matches(i.url, '^http://h[0-9]+\\.example\\.org/')
+""",
+        "host_stats": f"""
+WITH {SQL_RESOURCES}
+SELECT site_id, count(*) AS n_pages, min(seq) AS min_seq, max(seq) AS max_seq
+FROM resources GROUP BY site_id
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+""",
+        "token_count": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END
+           AS n_tokens
+FROM documents
+""",
+        "window_events": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,166 @@
+"""Markup kernels — tolerant HTML→tree parse, XPath-subset query,
+encoding sniff, XML namespace stripping.
+
+The reference parses every markup type with ``lxml.html.HTMLParser``
+(even XML/XHTML), strips namespaces via XSLT, and evaluates arbitrary
+XPath, taking the first node's ``text_content()`` (reference
+extractors.py:231-285; xml_utils/__init__.py). This container has no
+lxml, so the same *semantics* are built on the stdlib:
+
+- ``html.parser.HTMLParser`` (tolerant, namespace-oblivious — tags
+  like ``xhtml:div`` have their prefix dropped, matching the
+  reference's namespace removal) building an ``xml.etree`` tree;
+- ElementTree's XPath subset for queries (``//div[@id='content']/h1``
+  and friends); a full XPath engine is out of scope and documented as
+  a capability bound;
+- encoding sniff with the reference's UnicodeDammit proposal order
+  utf-8 → latin1 (extractors.py:236-242): BOM / meta-charset /
+  strict-utf-8 probe, else latin1 (which never fails).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from html.parser import HTMLParser
+from xml.etree import ElementTree as ET
+
+XML_TYPES = ["application/xml", "application/xhtml+xml", "text/xml"]
+HTML_TYPES = ["text/html"]
+MARKUP_TYPES = XML_TYPES + HTML_TYPES
+
+# Elements that never have content/closing tag in HTML.
+_VOID = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+_META_CHARSET = re.compile(rb"""<meta[^>]+charset\s*=\s*["']?([a-zA-Z0-9_\-]+)""", re.I)
+
+
+def sniff_encoding(data: bytes) -> str:
+    """utf-8 or latin1, tried in the reference's proposal order
+    (extractors.py:239: ``proposed = ["utf-8", "latin1"]``)."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return "utf-8"
+    m = _META_CHARSET.search(data[:2048])
+    if m:
+        declared = m.group(1).decode("ascii").lower()
+        if declared in ("utf-8", "utf8"):
+            return "utf-8"
+        if declared in ("latin1", "latin-1", "iso-8859-1"):
+            return "latin1"
+    try:
+        data.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin1"
+
+
+def _local_name(tag: str) -> str:
+    """Drop an XML namespace prefix ('xhtml:div' → 'div') — stdlib
+    html.parser keeps prefixes; the reference's XSLT strips them
+    (xml_utils/remove_namespaces.xsl)."""
+    return tag.rsplit(":", 1)[-1]
+
+
+class _TreeBuilder(HTMLParser):
+    """Tolerant HTML → ElementTree builder (auto-closes crossed tags
+    the way browsers do for the common cases the crawler meets)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = ET.Element("__doc__")
+        self._stack = [self.root]
+        self._tail_holder = {id(self.root): None}
+
+    def _append_text(self, text: str) -> None:
+        parent = self._stack[-1]
+        if len(parent):
+            last = parent[-1]
+            last.tail = (last.tail or "") + text
+        else:
+            parent.text = (parent.text or "") + text
+
+    def handle_starttag(self, tag, attrs):
+        tag = _local_name(tag)
+        el = ET.SubElement(self._stack[-1], tag, {k: (v or "") for k, v in attrs})
+        if tag not in _VOID:
+            self._stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        ET.SubElement(self._stack[-1], _local_name(tag), {k: (v or "") for k, v in attrs})
+
+    def handle_endtag(self, tag):
+        tag = _local_name(tag)
+        if tag in _VOID:
+            return
+        # Close up to the matching open tag; ignore stray closers.
+        for i in range(len(self._stack) - 1, 0, -1):
+            if self._stack[i].tag == tag:
+                del self._stack[i:]
+                return
+
+    def handle_data(self, data):
+        if data:
+            self._append_text(data)
+
+
+def parse_html(data: bytes, encoding: str | None = None) -> ET.Element:
+    """Parse HTML (or XML treated as HTML, per the reference's
+    HTMLParser-for-everything choice, extractors.py:244-250) into an
+    ElementTree root."""
+    if encoding is None:
+        encoding = sniff_encoding(data)
+    text = data.decode(encoding, errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(text)
+    builder.close()
+    return builder.root
+
+
+def text_content(el: ET.Element) -> str:
+    """Concatenated descendant text, lxml ``text_content()``-style
+    (no separators inserted)."""
+    return "".join(el.itertext())
+
+
+def xpath_to_et(xpath: str) -> str:
+    """Translate the leading ``//`` of an absolute-descendant XPath to
+    ElementTree's ``.//``. The supported grammar is ElementTree's
+    XPath subset (tag steps, ``*``, ``[@attr='v']``, positional
+    predicates) — covers the reference's configs; richer axes raise."""
+    if xpath.startswith("//"):
+        return "." + xpath
+    if xpath.startswith("/"):
+        return "." + xpath
+    return xpath
+
+
+def find_nodes(root: ET.Element, xpath: str) -> list[ET.Element]:
+    return root.findall(xpath_to_et(xpath))
+
+
+def first_node_text(data: bytes, xpath: str, encoding: str | None = None):
+    """Parse + query + first node's text content; ``None`` when the
+    query has no match (caller maps that to NoValueExtracted —
+    reference extractors.py:263-264 / first-of-many :266-272)."""
+    root = parse_html(data, encoding)
+    nodes = find_nodes(root, xpath)
+    if not nodes:
+        return None
+    return text_content(nodes[0])
+
+
+def parse_xml(data: bytes) -> ET.Element:
+    """Strict XML parse with namespace URIs stripped from tags —
+    equivalent in effect to the reference's XSLT namespace removal
+    (xml_utils/__init__.py:10-19) for querying purposes."""
+    root = ET.parse(io.BytesIO(data)).getroot()
+    for el in root.iter():
+        if isinstance(el.tag, str) and el.tag.startswith("{"):
+            el.tag = el.tag.split("}", 1)[1]
+        el.attrib = {
+            (k.split("}", 1)[1] if k.startswith("{") else k): v
+            for k, v in el.attrib.items()
+        }
+    return root

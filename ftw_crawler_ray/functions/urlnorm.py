@@ -1,0 +1,92 @@
+"""URL kernels — md5-UUID uid, slug, canonicalization, host hashing.
+
+uid/slug semantics pinned against reference extractors.py:152-177 and
+the golden values in test_extractors.py:515-598. Canonical-host
+hashing is new (north_rule): it is the frontier shard / shuffle key
+and must be stable across processes and languages (md5-based, NOT
+Python ``hash()`` which is salted per process) and reproducible in
+DuckDB SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+from urllib.parse import unquote_plus, urlsplit
+from uuid import UUID
+
+from .textutils import safe_unicode
+
+_NON_SLUG = re.compile(r"[^a-z0-9]+")
+
+
+def uid_for_url(url: str) -> str:
+    """``UUID(bytes=md5(url))`` as string — the reference's document
+    UID (extractors.py:152-158). Golden: 'http://example.org' →
+    'dab521de-65f9-250b-4cca-7383feef67dc'."""
+    digest = hashlib.md5(url.encode("utf-8")).digest()
+    return str(UUID(bytes=digest))
+
+
+def slugify(value: str) -> str:
+    """ASCII slug: NFKD-fold diacritics, lowercase, non-alnum runs →
+    single '-', trimmed.
+
+    Reimplements the behavior the reference gets from python-slugify
+    (extractors.py:163-168): 'bärengraben' → 'barengraben',
+    'foo bar' → 'foo-bar' (test_extractors.py:544-598).
+    """
+    value = unicodedata.normalize("NFKD", value)
+    value = value.encode("ascii", "ignore").decode("ascii").lower()
+    return _NON_SLUG.sub("-", value).strip("-")
+
+
+def slug_from_url(url: str) -> str:
+    """Last path segment (rstrip '/', '' → 'index-html'),
+    percent-decoded with '+'→space, slugified
+    (reference extractors.py:161-177)."""
+    path = urlsplit(url).path.rstrip("/")
+    basename = path.split("/")[-1]
+    if basename == "":
+        basename = "index-html"
+    basename = unquote_plus(basename)
+    basename = safe_unicode(basename)
+    return slugify(basename)
+
+
+def canonical_url(url: str) -> str:
+    """Dedup / purge-membership key: the reference compares URLs
+    case-insensitively (sitemap.py:200-204), so canonical form is
+    ``url.lower()``. Kept as its own function so a stricter
+    canonicalizer (scheme default ports, sorted query) can slot in."""
+    return url.lower()
+
+
+def host_of(url: str) -> str:
+    """Lower-cased netloc sans port and leading 'www.' — the
+    politeness / frontier-ownership unit."""
+    netloc = urlsplit(url).netloc.lower()
+    host = netloc.rsplit("@", 1)[-1].split(":")[0]
+    if host.startswith("www."):
+        host = host[4:]
+    return host
+
+
+def host_hash(host: str) -> int:
+    """Stable unsigned-63-bit hash of a canonical host string.
+
+    First 8 bytes (big-endian) of md5, masked to 63 bits so the value
+    fits Arrow int64 ≥ 0. Process-stable (unlike ``hash()``) and
+    expressible in DuckDB for the oracle:
+    ``(('x' || substr(md5(host),1,16))::BIT(64)::BIGINT & (2**63-1))``
+    — in practice the oracle uses the hex form directly.
+    """
+    digest = hashlib.md5(host.encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def shard_of(host: str, num_shards: int) -> int:
+    """Frontier shard owning ``host`` = host_hash % num_shards; one
+    host maps to exactly one shard (politeness + URL-seen locality)."""
+    return host_hash(host) % num_shards

@@ -1,0 +1,190 @@
+"""Synthetic Common-Crawl-style corpus, derived deterministically from
+the driver's ``documents`` table — and reproducible in ANSI SQL.
+
+``BASELINE.json.input_hint`` fixes the input shape:
+``(url:string, warc_ts:timestamp, html:binary, text:string,
+lang:string)``. No such table ships in /root/testdata, so we derive
+one 1:1 from ``documents.parquet`` (doc_id, text, lang, source,
+n_chars) with pure column expressions. Because every derived column
+is a simple string/arithmetic expression, the DuckDB oracle can
+synthesize the *same* pages/frontier/index_state tables in SQL (see
+``__ray_entry__.oracle_sql``) and check the whole crawl pipeline
+end-to-end, value-for-value.
+
+Layout: hosts ``h{doc_id % 41}.example.org`` (41 hosts → hot/cold mix
+across frontier shards), one site per host, urls
+``http://host/docs/page-{doc_id}``; ``html`` wraps the document text
+in the reference test-asset structure (``div#content > h1``);
+``text`` is title + newline + body so the Title/Snippet cascade has
+real work to do.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+NUM_HOSTS = 41
+TS0 = np.datetime64("2020-01-01T00:00:00", "us")
+
+_HTML_PRE = b'<html><head><meta charset="utf-8"/><title>Doc '
+_HTML_MID = b'</title></head><body><div id="content"><h1>Doc '
+_HTML_MID2 = b"</h1><p>"
+_HTML_POST = b"</p></div></body></html>"
+
+
+def _ids_hosts(batch: pa.Table):
+    doc_id = batch["doc_id"].combine_chunks()
+    ids = pc.cast(doc_id, pa.string())
+    host_n = pc.cast(pa.array(doc_id.to_numpy() % NUM_HOSTS), pa.string())
+    host = pc.binary_join_element_wise("h", host_n, ".example.org", "")
+    return doc_id, ids, host
+
+
+def pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → pages batch (vectorized Arrow kernels)."""
+    doc_id, ids, host = _ids_hosts(batch)
+    url = pc.binary_join_element_wise("http://", host, "/docs/page-", ids, "")
+    warc_ts = pa.array(
+        TS0 + (doc_id.to_numpy() * 60_000_000).astype("timedelta64[us]"),
+        type=pa.timestamp("us"),
+    )
+    title = pc.binary_join_element_wise("Doc ", ids, "")
+    text = pc.binary_join_element_wise(title, "\n", batch["text"].combine_chunks(), "")
+    html = pc.binary_join_element_wise(
+        pa.array([_HTML_PRE] * len(ids), pa.binary()),
+        pc.cast(ids, pa.binary()),
+        pa.array([_HTML_MID] * len(ids), pa.binary()),
+        pc.cast(ids, pa.binary()),
+        pa.array([_HTML_MID2] * len(ids), pa.binary()),
+        pc.cast(batch["text"].combine_chunks(), pa.binary()),
+        pa.array([_HTML_POST] * len(ids), pa.binary()),
+        pa.array([b""] * len(ids), pa.binary()),
+    )
+    return pa.table(
+        {
+            "url": url,
+            "warc_ts": warc_ts,
+            "html": html,
+            "text": text,
+            "lang": batch["lang"],
+            "content_type": pa.array(["text/html"] * len(ids), pa.string()),
+            "site_id": host,
+            "doc_id": batch["doc_id"],
+        }
+    )
+
+
+def frontier_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → frontier (sitemap url_info) batch.
+
+    Mirrors the reference's url_info record (sitemap.py:15
+    PROPERTIES, string-typed, absent-key → null): lastmod present for
+    2/3 of rows, changefreq/priority/target sparsely populated, plus
+    crawl-order ``seq`` and the canonical-host shard key (SURVEY.md
+    §2.6 A3, §7.3).
+    """
+    doc_id, ids, host = _ids_hosts(batch)
+    np_id = doc_id.to_numpy()
+    url = pc.binary_join_element_wise("http://", host, "/docs/page-", ids, "")
+    warc = TS0 + (np_id * 60_000_000).astype("timedelta64[us]")
+    # ISO lastmod string of warc_ts, null for every 3rd row (HEAD-
+    # fallback path in the reference, fetcher.py:35-42)
+    lastmod_all = np.datetime_as_string(warc.astype("datetime64[s]"), unit="s")
+    lastmod = pa.array(
+        np.where(np_id % 3 == 2, None, lastmod_all), type=pa.string()
+    )
+    changefreq = pa.array(
+        np.where(np_id % 5 == 0, "daily", None), type=pa.string()
+    )
+    priority = pa.array(
+        np.where(np_id % 7 == 0, "1.0", "0.5"), type=pa.string()
+    )
+    target = pa.array(
+        np.where(np_id % 13 == 0, np.char.add(url.to_numpy(zero_copy_only=False).astype(str), "?target=1"), None),
+        type=pa.string(),
+    )
+    return pa.table(
+        {
+            "url": url,
+            "lastmod": lastmod,
+            "changefreq": changefreq,
+            "priority": priority,
+            "target": target,
+            "site_id": host,
+            "seq": pc.cast(doc_id, pa.int64()),
+        }
+    )
+
+
+def index_state_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → previously-indexed docs (the Solr stand-in,
+    reference main.py:49-66). Overlap design per FIXTURES.md §3:
+    - doc_id % 6 == 0 → last_modified one day AFTER warc_ts (skip)
+    - doc_id % 6 == 3 → one day BEFORE (re-fetch)
+    - doc_id % 11 == 0 → a vanished url (purge candidate)
+    - doc_id % 19 == 0 → a foreign-host url (must never be purged)
+    """
+    import hashlib
+    from uuid import UUID
+
+    doc_id, ids, host = _ids_hosts(batch)
+    np_id = doc_id.to_numpy()
+    urls, last_mods, site_ids = [], [], []
+    warc = TS0 + (np_id * 60_000_000).astype("timedelta64[us]")
+    day = np.timedelta64(1, "D")
+    hosts = host.to_pylist()
+    for i, d in enumerate(np_id):
+        d = int(d)
+        if d % 6 == 0:
+            urls.append(f"http://{hosts[i]}/docs/page-{d}")
+            last_mods.append(warc[i] + day)
+            site_ids.append(hosts[i])
+        elif d % 6 == 3:
+            urls.append(f"http://{hosts[i]}/docs/page-{d}")
+            last_mods.append(warc[i] - day)
+            site_ids.append(hosts[i])
+        if d % 11 == 0:
+            urls.append(f"http://{hosts[i]}/docs/gone-{d}")
+            last_mods.append(warc[i])
+            site_ids.append(hosts[i])
+        if d % 19 == 0:
+            urls.append(f"http://other.example.net/docs/page-{d}")
+            last_mods.append(warc[i])
+            site_ids.append("other.example.net")
+    uids = [
+        str(UUID(bytes=hashlib.md5(u.encode()).digest())) for u in urls
+    ]
+    return pa.table(
+        {
+            "uid": pa.array(uids, pa.string()),
+            "url": pa.array(urls, pa.string()),
+            "last_modified": pa.array(
+                np.array(last_mods, dtype="datetime64[us]") if last_mods else
+                np.array([], dtype="datetime64[us]"),
+                type=pa.timestamp("us"),
+            ),
+            "crawler_site_id": pa.array(site_ids, pa.string()),
+        }
+    )
+
+
+def _documents(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+
+def read_pages(sf_dir: str) -> ray.data.Dataset:
+    """The pages corpus as a streaming Dataset (never materialized)."""
+    return _documents(sf_dir).map_batches(pages_batch, batch_format="pyarrow")
+
+
+def read_frontier(sf_dir: str) -> ray.data.Dataset:
+    return _documents(sf_dir).map_batches(frontier_batch, batch_format="pyarrow")
+
+
+def read_index_state(sf_dir: str) -> ray.data.Dataset:
+    return _documents(sf_dir).map_batches(index_state_batch, batch_format="pyarrow")

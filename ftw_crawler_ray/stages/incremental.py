@@ -1,0 +1,116 @@
+"""Incrementality: frontier ⋈ index_state (J1) + is_modified (S6).
+
+The reference does an O(urls × indexed_docs) linear scan per URL
+(main.py:61-66) and a per-URL lastmod/HEAD check (fetcher.py:26-43).
+Here J1 is a hash-partitioned left join on ``url`` (every block
+shuffled once, no driver-side state) and S6 is a vectorized Arrow
+predicate:
+
+    modified ⇔ last_indexed IS NULL            (never indexed)
+             ∨ lastmod IS NULL                 (HEAD fallback → True in-corpus)
+             ∨ parse(lastmod) > last_indexed
+
+Scale note: index_state is usually ≪ frontier; when it fits the
+object store comfortably, ``broadcast=True`` skips the shuffle by
+shipping a url→last_modified dict via ``ray.put`` once and doing the
+lookup inside ``map_batches`` (SURVEY.md §2.5 J1).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..sources.pages import read_frontier, read_index_state
+
+_JOIN_PARTITIONS = 16
+
+
+def _parse_lastmod_us(lastmod: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """ISO 'YYYY-MM-DDTHH:MM:SS' strings → datetime64[us] (NaT for
+    null). The corpus writes strict ISO so a vectorized numpy cast is
+    exact; arbitrary sitemap dates go through functions.dates kernels
+    in the sitemap parse stage."""
+    vals = lastmod.to_numpy(zero_copy_only=False)
+    out = np.full(len(vals), np.datetime64("NaT"), dtype="datetime64[us]")
+    mask = np.array([v is not None for v in vals])
+    if mask.any():
+        out[mask] = np.array(
+            [np.datetime64(v, "us") for v in np.asarray(vals, dtype=object)[mask]]
+        )
+    return out
+
+
+def join_index_state(sf_dir: str, broadcast: bool = False) -> ray.data.Dataset:
+    """J1: frontier LEFT JOIN index_state ON url → adds last_indexed."""
+    frontier = read_frontier(sf_dir).select_columns(["url", "lastmod", "seq"])
+    index_state = read_index_state(sf_dir).select_columns(["url", "last_modified"])
+
+    if broadcast:
+        lookup_ref = ray.put(
+            dict(
+                zip(
+                    *[
+                        index_state.to_pandas()[c].tolist()
+                        for c in ("url", "last_modified")
+                    ]
+                )
+            )
+        )
+
+        def add_last_indexed(batch: pa.Table) -> pa.Table:
+            lookup = ray.get(lookup_ref)
+            vals = [lookup.get(u) for u in batch["url"].to_pylist()]
+            return batch.append_column(
+                "last_indexed", pa.array(vals, type=pa.timestamp("us"))
+            )
+
+        return frontier.map_batches(add_last_indexed, batch_format="pyarrow")
+
+    joined = frontier.join(
+        index_state,
+        join_type="left_outer",
+        num_partitions=_JOIN_PARTITIONS,
+        on=("url",),
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            [
+                "last_indexed" if c == "last_modified" else c
+                for c in t.column_names
+            ]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def is_modified_mask(batch: pa.Table) -> np.ndarray:
+    lastmod_us = _parse_lastmod_us(batch["lastmod"])
+    last_indexed = batch["last_indexed"].to_numpy(zero_copy_only=False)
+    li_us = np.full(len(batch), np.datetime64("NaT"), dtype="datetime64[us]")
+    mask = np.array([v is not None for v in last_indexed])
+    if mask.any():
+        li_us[mask] = np.array(
+            [np.datetime64(v, "us") for v in last_indexed[mask]]
+        )
+    never_indexed = np.isnat(li_us)
+    no_lastmod = np.isnat(lastmod_us)
+    newer = np.zeros(len(batch), dtype=bool)
+    both = ~never_indexed & ~no_lastmod
+    newer[both] = lastmod_us[both] > li_us[both]
+    return never_indexed | no_lastmod | newer
+
+
+def fetch_candidates(sf_dir: str) -> ray.data.Dataset:
+    """S6 filter over J1 output → the fetch-ready frontier subset."""
+
+    def keep_modified(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pa.array(is_modified_mask(batch)))
+        return out.select(["url", "seq"])
+
+    return join_index_state(sf_dir).map_batches(
+        keep_modified, batch_format="pyarrow"
+    )

@@ -1,0 +1,148 @@
+"""Text analysis stages over ``documents``: token counting, quality
+scoring, language-ID, document fingerprinting (training-data-pipeline
+operators; SURVEY-level capability extensions)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_WORD = re.compile(r"\w+", re.UNICODE)
+
+# tiny per-language stopword profiles for the n-gram/stopword
+# heuristic language id (public-knowledge lists)
+_LANG_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pas"},
+}
+
+
+def token_counts(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token count per document — vectorized-ish batch
+    kernel (C-level str.split per row)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(t.split()) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
+        )
+
+    return docs.map_batches(count, batch_format="pyarrow")
+
+
+def quality_scores(sf_dir: str) -> ray.data.Dataset:
+    """Quality-signal integers per doc: char/token counts, mean token
+    length (×1000, integer — exact cross-engine comparison), distinct
+    token ratio (×1000)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_chars, n_tokens, mean_len_x1000, distinct_x1000 = [], [], [], []
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            n_chars.append(len(t))
+            n_tokens.append(len(toks))
+            if toks:
+                mean_len_x1000.append(
+                    int(sum(len(w) for w in toks) * 1000) // len(toks)
+                )
+                distinct_x1000.append(len(set(toks)) * 1000 // len(toks))
+            else:
+                mean_len_x1000.append(0)
+                distinct_x1000.append(0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "mean_token_len_x1000": pa.array(mean_len_x1000, pa.int64()),
+                "distinct_ratio_x1000": pa.array(distinct_x1000, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+class LangId:
+    """Stopword-profile language id (actor-pool stage: profiles built
+    once per actor)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        words = text.lower().split()
+        if not words:
+            return "unknown"
+        best_lang, best = "unknown", 0
+        for lang, stops in self.profiles.items():
+            hits = sum(1 for w in words if w in stops)
+            if hits > best:
+                best_lang, best = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+def lang_id(sf_dir: str) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
+        ["doc_id", "lang", "lang_pred"]
+    )
+
+
+def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
+    """Winnowing-style document fingerprint: min rolling-window hash
+    over word 3-grams (one 64-bit fingerprint per doc — cheap
+    near-dup pre-filter / lineage id)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch["text"].to_pylist():
+            words = t.split()
+            grams = [
+                " ".join(words[i : i + 3]) for i in range(max(1, len(words) - 2))
+            ]
+            hashes = [
+                int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                )
+                for g in grams
+            ]
+            if not hashes:
+                out.append(0)
+                continue
+            mins = [
+                min(hashes[i : i + window])
+                for i in range(0, len(hashes), window)
+            ]
+            out.append(
+                int.from_bytes(
+                    hashlib.blake2b(
+                        np.array(mins, dtype=np.uint64).tobytes(), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.uint64())}
+        )
+
+    return docs.map_batches(fp, batch_format="pyarrow")
