@@ -163,6 +163,44 @@ def _q_window_events(sf_dir: str):
     return hourly_event_stats(sf_dir)
 
 
+def _q_crawl_schedule(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ftw_crawler_ray.pipelines.crawl import scheduled_frontier
+
+    sched = scheduled_frontier(sf_dir, num_shards=8)
+    return sched.map_batches(
+        lambda t: t.filter(pc.equal(t["status"], "scheduled")).select(
+            ["url", "site_id", "fetch_order"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_crawl_seen(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from ftw_crawler_ray.pipelines.crawl import scheduled_frontier
+
+    sched = scheduled_frontier(sf_dir, num_shards=8)
+    # corpus urls are already canonical (lowercase, unique), so the
+    # URL-seen set is exactly the non-dup admitted rows
+    return sched.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["status"], "dup"))).select(
+            ["url"]
+        ).rename_columns(["url_seen"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_crawl_docs(sf_dir: str):
+    from ftw_crawler_ray.pipelines.crawl import crawl_output
+
+    return crawl_output(sf_dir, num_shards=8).select_columns(
+        ["url", "UID", "Title", "SearchableText", "snippetText", "modified"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_pages": _q_extract_pages,
@@ -174,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
         "window_events": _q_window_events,
+        "crawl_schedule": _q_crawl_schedule,
+        "crawl_seen": _q_crawl_seen,
+        "crawl_docs": _q_crawl_docs,
     }
 
 
@@ -256,5 +297,52 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        # crawl plan: per-host rank by (priority DESC, lastmod DESC
+        # NULLS LAST, seq) over modified ∧ robots-allowed candidates —
+        # mirrors FrontierHeap.priority_key + FrontierShard.schedule
+        "crawl_schedule": f"""
+WITH {SQL_RESOURCES}, {SQL_INDEX_STATE},
+cand AS (
+    SELECT r.* FROM resources r LEFT JOIN index_state i ON r.url = i.url
+    WHERE i.last_modified IS NULL OR r.lastmod IS NULL
+       OR CAST(r.lastmod AS TIMESTAMP) > i.last_modified
+)
+SELECT url, site_id,
+       row_number() OVER (
+           PARTITION BY site_id
+           ORDER BY CAST(priority AS DOUBLE) DESC,
+                    (lastmod IS NULL) ASC,
+                    CAST(lastmod AS TIMESTAMP) DESC,
+                    seq ASC
+       ) - 1 AS fetch_order
+FROM cand
+WHERE (doc_id % 41) % 10 <> 3
+""",
+        "crawl_seen": f"""
+WITH {SQL_RESOURCES}, {SQL_INDEX_STATE}
+SELECT lower(r.url) AS url_seen
+FROM resources r LEFT JOIN index_state i ON r.url = i.url
+WHERE i.last_modified IS NULL OR r.lastmod IS NULL
+   OR CAST(r.lastmod AS TIMESTAMP) > i.last_modified
+""",
+        "crawl_docs": f"""
+WITH {SQL_RESOURCES}, {SQL_INDEX_STATE},
+cand AS (
+    SELECT r.* FROM resources r LEFT JOIN index_state i ON r.url = i.url
+    WHERE i.last_modified IS NULL OR r.lastmod IS NULL
+       OR CAST(r.lastmod AS TIMESTAMP) > i.last_modified
+)
+SELECT url,
+       {uid} AS "UID",
+       title AS "Title",
+       searchable AS "SearchableText",
+       CASE WHEN starts_with(searchable, title)
+            THEN ltrim(searchable, title) ELSE searchable END AS "snippetText",
+       coalesce(CAST(lastmod AS TIMESTAMP), TIMESTAMP '2021-01-01') AS modified
+FROM cand
+WHERE (doc_id % 41) % 10 <> 3
+  AND doc_id % 101 <> 0
+  AND doc_id % 103 <> 0
 """,
     }

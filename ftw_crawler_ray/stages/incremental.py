@@ -44,9 +44,13 @@ def _parse_lastmod_us(lastmod: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return out
 
 
-def join_index_state(sf_dir: str, broadcast: bool = False) -> ray.data.Dataset:
+def join_index_state(
+    sf_dir: str,
+    broadcast: bool = False,
+    columns: tuple = ("url", "lastmod", "seq"),
+) -> ray.data.Dataset:
     """J1: frontier LEFT JOIN index_state ON url → adds last_indexed."""
-    frontier = read_frontier(sf_dir).select_columns(["url", "lastmod", "seq"])
+    frontier = read_frontier(sf_dir).select_columns(list(columns))
     index_state = read_index_state(sf_dir).select_columns(["url", "last_modified"])
 
     if broadcast:

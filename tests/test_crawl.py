@@ -1,0 +1,116 @@
+"""End-to-end crawl pipeline tests: full run counts, checkpointed
+resume → identical URL-seen set (the north_rule invariant)."""
+
+import pytest
+
+from ftw_crawler_ray.state.frontier import read_seen_set
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def crawl_summary(ray_session, tmp_path_factory):
+    from ftw_crawler_ray.pipelines.crawl import crawl
+
+    out = tmp_path_factory.mktemp("crawl_full")
+    summary = crawl(SF, out_dir=str(out), num_shards=4,
+                    checkpoint_dir=str(out / "ckpt"))
+    return summary
+
+
+class TestCrawlEndToEnd:
+    def test_plan_counts(self, crawl_summary):
+        # 500 docs − 84 unmodified (doc_id%6==0) = 416 candidates;
+        # hosts h3/h13/h23/h33 robots-block /docs/ → 41 urls blocked
+        assert crawl_summary["plan_counts"]["scheduled"] == 375
+        assert crawl_summary["plan_counts"]["robots_blocked"] == 41
+        assert "dup" not in crawl_summary["plan_counts"]
+
+    def test_fetch_counts(self, crawl_summary):
+        # deterministic fault injection: doc_id%101==0 → 404,
+        # %103==0 → redirect, among the 375 scheduled
+        fc = crawl_summary["fetch_counts"]
+        assert fc["fetched"] == 375 - fc.get("fetch_error", 0) - fc.get(
+            "redirect", 0
+        ) - fc.get("missing", 0)
+        assert fc.get("missing", 0) == 0
+
+    def test_output_partitioned_by_shard(self, crawl_summary):
+        import os
+
+        docs_dir = os.path.join(crawl_summary["out_dir"], "docs")
+        parts = [d for d in os.listdir(docs_dir) if d.startswith("shard=")]
+        assert len(parts) == 4
+
+    def test_extracted_fields_present(self, crawl_summary, ray_session):
+        import pyarrow.dataset as pads
+
+        docs = pads.dataset(
+            f"{crawl_summary['out_dir']}/docs", partitioning="hive"
+        ).to_table(columns=["url", "UID", "Title", "SearchableText",
+                            "fetch_status"])
+        ok = docs.filter(
+            __import__("pyarrow").compute.equal(docs["fetch_status"], "fetched")
+        )
+        assert ok.num_rows == crawl_summary["fetch_counts"]["fetched"]
+        assert all(v is not None for v in ok["UID"].to_pylist())
+
+
+class TestResume:
+    def test_seen_set_identical_after_resume(self, ray_session, tmp_path):
+        """Kill-and-resume invariant: crawl half the frontier, then
+        resume over the full frontier — final URL-seen set equals a
+        single full run's set."""
+        import ray.data
+
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        # full run (reference set)
+        full = tmp_path / "full"
+        crawl(SF, out_dir=str(full), num_shards=4,
+              checkpoint_dir=str(full / "ckpt"))
+        full_seen = read_seen_set(str(full / "ckpt"))
+
+        # interrupted run: only even doc_ids first ("killed" mid-crawl),
+        # then resumed over the complete frontier with the same ckpts
+        part = tmp_path / "part"
+
+        import ftw_crawler_ray.pipelines.crawl as crawl_mod
+        from ftw_crawler_ray.stages import incremental
+
+        orig = incremental.join_index_state
+
+        def half_frontier(sf_dir, broadcast=False, columns=()):
+            import pyarrow as pa
+
+            ds = orig(sf_dir, broadcast=broadcast, columns=columns)
+            return ds.map_batches(
+                lambda t: t.filter(pa.array(t["seq"].to_numpy() % 2 == 0)),
+                batch_format="pyarrow",
+            )
+
+        incremental.join_index_state = half_frontier
+        crawl_mod.join_index_state = half_frontier
+        try:
+            crawl(SF, out_dir=str(part), num_shards=4,
+                  checkpoint_dir=str(part / "ckpt"))
+        finally:
+            incremental.join_index_state = orig
+            crawl_mod.join_index_state = orig
+        half_seen = read_seen_set(str(part / "ckpt"))
+        assert half_seen < full_seen  # strictly partial
+
+        crawl(SF, out_dir=str(part / "resume"), num_shards=4,
+              checkpoint_dir=str(part / "ckpt"))
+        resumed_seen = read_seen_set(str(part / "ckpt"))
+        assert resumed_seen == full_seen
+
+    def test_rerun_is_all_dup(self, ray_session, tmp_path):
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        out = tmp_path / "a"
+        crawl(SF, out_dir=str(out), num_shards=2, checkpoint_dir=str(out / "c"))
+        s2 = crawl(SF, out_dir=str(tmp_path / "b"), num_shards=2,
+                   checkpoint_dir=str(out / "c"))
+        assert s2["plan_counts"] == {"dup": 416}
+        assert s2["fetch_counts"] == {}

@@ -1,0 +1,183 @@
+"""Frontier-state tests: filters, politeness parity, robots, heap
+ordering, shard checkpoint round-trip."""
+
+from datetime import datetime
+
+import pyarrow as pa
+import pytest
+
+from ftw_crawler_ray.state.filters import BloomFilter, CuckooFilter, ExactSeenSet
+from ftw_crawler_ray.state.frontier import FrontierShard
+from ftw_crawler_ray.state.heap import FrontierHeap, priority_key
+from ftw_crawler_ray.state.politeness import PolitenessState
+from ftw_crawler_ray.state.robots import RobotsCache
+
+
+class TestCuckooFilter:
+    def test_membership(self):
+        f = CuckooFilter(10_000)
+        urls = [f"http://h{i}.example.org/p/{i}" for i in range(5_000)]
+        # a small false-positive rate on first insert is inherent
+        # (≈0.2% at 12-bit fingerprints) — the exact mode exists for
+        # set-equality-proof crawls
+        false_seen = sum(0 if f.add_if_unseen(u) else 1 for u in urls)
+        assert false_seen / len(urls) < 0.01
+        for u in urls:
+            assert u in f               # never a false negative
+            assert not f.add_if_unseen(u)
+
+    def test_no_false_negatives_after_roundtrip(self):
+        f = CuckooFilter(10_000)
+        urls = [f"http://x.org/{i}" for i in range(3_000)]
+        for u in urls:
+            f.add(u)
+        g = CuckooFilter.from_bytes(f.to_bytes())
+        assert g.count == f.count
+        for u in urls:
+            assert u in g
+
+    def test_roundtrip_byte_exact(self):
+        f = CuckooFilter(1_000)
+        for i in range(500):
+            f.add(f"k{i}")
+        data = f.to_bytes()
+        assert CuckooFilter.from_bytes(data).to_bytes() == data
+
+    def test_false_positive_rate_bounded(self):
+        f = CuckooFilter(20_000)
+        for i in range(10_000):
+            f.add(f"in-{i}")
+        fp = sum(1 for i in range(10_000) if f"out-{i}" in f)
+        assert fp / 10_000 < 0.01  # 12-bit fingerprints → ~0.1% expected
+
+
+class TestBloomFilter:
+    def test_membership_and_roundtrip(self):
+        f = BloomFilter(5_000, fp_rate=0.001)
+        for i in range(2_000):
+            f.add(f"u{i}")
+        g = BloomFilter.from_bytes(f.to_bytes())
+        assert all(f"u{i}" in g for i in range(2_000))
+        fp = sum(1 for i in range(5_000) if f"v{i}" in g)
+        assert fp / 5_000 < 0.01
+
+
+class TestPoliteness:
+    def test_sequential_spacing(self):
+        st = PolitenessState(default_sleeptime=0.1)
+        b = st.budget("h.org")
+        t = [b.schedule_fetch() for _ in range(3)]
+        assert t == [0.0, pytest.approx(0.1), pytest.approx(0.2)]
+
+    def test_429_doubles_and_persists(self):
+        # reference fetcher.py:60-66: sleep at current sleeptime per
+        # 429, double after; never reset
+        st = PolitenessState(default_sleeptime=0.1)
+        b = st.budget("h.org")
+        assert b.schedule_fetch() == 0.0            # t=0, next=0.1
+        t2 = b.schedule_fetch(n_429=1)              # sleeps 0.1 → starts 0.2
+        assert t2 == pytest.approx(0.2)
+        assert b.sleeptime == pytest.approx(0.2)    # doubled, persists
+        t3 = b.schedule_fetch()
+        assert t3 == pytest.approx(0.4)             # 0.2 + new sleeptime
+
+    def test_roundtrip(self):
+        st = PolitenessState(0.1)
+        st.budget("a.org").schedule_fetch(n_429=2)
+        data = st.to_bytes()
+        st2 = PolitenessState.from_bytes(data)
+        assert st2.to_bytes() == data
+        assert st2.budget("a.org").sleeptime == st.budget("a.org").sleeptime
+
+
+class TestRobots:
+    def test_no_rules_allows(self):
+        rc = RobotsCache()
+        assert rc.allowed("http://unknown.org/anything")
+
+    def test_disallow(self):
+        rc = RobotsCache()
+        rc.put("h.org", "User-agent: *\nDisallow: /private/")
+        assert not rc.allowed("http://h.org/private/x")
+        assert rc.allowed("http://h.org/public/x")
+
+    def test_roundtrip(self):
+        rc = RobotsCache()
+        rc.put("h.org", "User-agent: *\nDisallow: /")
+        rc2 = RobotsCache.from_bytes(rc.to_bytes())
+        assert not rc2.allowed("http://h.org/x")
+
+
+class TestHeap:
+    def test_order_priority_then_lastmod_then_seq(self):
+        h = FrontierHeap()
+        h.push("0.5", datetime(2020, 1, 1), 1, "a")
+        h.push("1.0", datetime(2019, 1, 1), 2, "b")   # higher priority wins
+        h.push("0.5", datetime(2021, 1, 1), 3, "c")   # newer lastmod wins
+        h.push("0.5", None, 0, "d")                   # missing lastmod last
+        assert list(h.drain()) == ["b", "c", "a", "d"]
+
+    def test_seq_tiebreak(self):
+        assert priority_key("0.5", None, 1) < priority_key("0.5", None, 2)
+
+
+class TestFrontierShardCheckpoint:
+    def _group(self, urls, seqs=None):
+        n = len(urls)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "lastmod": pa.array([None] * n, pa.string()),
+                "priority": pa.array([None] * n, pa.string()),
+                "seq": pa.array(seqs or list(range(n)), pa.int64()),
+                "shard": pa.array([0] * n, pa.int32()),
+            }
+        )
+
+    def test_schedule_dedup_and_status(self, tmp_path):
+        shard = FrontierShard(0, checkpoint_dir=str(tmp_path))
+        out = shard.schedule(
+            self._group(
+                ["http://a.org/x", "http://a.org/X", "http://b.org/y"]
+            )
+        )
+        assert out["status"].to_pylist() == ["scheduled", "dup", "scheduled"]
+        shard.checkpoint()
+
+        resumed = FrontierShard(0, checkpoint_dir=str(tmp_path))
+        assert resumed.load_checkpoint()
+        out2 = resumed.schedule(
+            self._group(["http://a.org/x", "http://c.org/z"], seqs=[10, 11])
+        )
+        assert out2["status"].to_pylist() == ["dup", "scheduled"]
+        assert resumed.n_seen == 3
+
+    def test_politeness_survives_checkpoint(self, tmp_path):
+        shard = FrontierShard(1, checkpoint_dir=str(tmp_path))
+        shard.schedule(
+            self._group(["http://a.org/1", "http://a.org/2"]),
+            n_429_for=lambda u: 1 if u.endswith("/1") else 0,
+        )
+        sleeptime = shard.politeness.budget("a.org").sleeptime
+        assert sleeptime == pytest.approx(0.2)  # doubled by the 429
+        shard.checkpoint()
+        resumed = FrontierShard(1, checkpoint_dir=str(tmp_path))
+        resumed.load_checkpoint()
+        assert resumed.politeness.budget("a.org").sleeptime == pytest.approx(0.2)
+
+    def test_robots_blocked(self, tmp_path):
+        shard = FrontierShard(
+            2, checkpoint_dir=str(tmp_path),
+            robots_map={"a.org": "User-agent: *\nDisallow: /"},
+        )
+        out = shard.schedule(self._group(["http://a.org/x", "http://b.org/y"]))
+        assert out["status"].to_pylist() == ["robots_blocked", "scheduled"]
+
+    def test_cuckoo_mode_checkpoint(self, tmp_path):
+        shard = FrontierShard(3, checkpoint_dir=str(tmp_path), seen_mode="cuckoo")
+        shard.schedule(self._group(["http://a.org/1"]))
+        shard.checkpoint()
+        resumed = FrontierShard(3, checkpoint_dir=str(tmp_path))
+        resumed.load_checkpoint()
+        assert resumed.seen_mode == "cuckoo"
+        assert "http://a.org/1" in resumed.seen
