@@ -1,0 +1,215 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: the full crawl pipeline (frontier build → J1 join →
+is_modified → shard schedule with URL-seen/robots/politeness →
+fetch actor pool → 20-field extraction) over the synthetic corpus
+amplified ``GRAFT_REPLICATE``× (default 60 → ~300k pages at sf0.1).
+Shard count is fixed (32) across parallelism levels — partitioning
+is a data-layout choice, not a cluster-size function.
+
+Env:
+    GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS    ray.init num_cpus (default 32)
+    GRAFT_REPLICATE   corpus amplification factor (default 20)
+
+``--scaling``: runs the headline twice in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both
+throughputs + scaling efficiency (BASELINE.json ≥0.8 criterion,
+evidenced via two parallelism levels per the sandbox rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "150"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from ftw_crawler_ray.pipelines.crawl import fetch_pool, scheduled_frontier
+    from ftw_crawler_ray.pipelines.extract import (
+        CRAWL_TS,
+        corpus_config,
+        extract_pipeline,
+    )
+    from ftw_crawler_ray.engine import ExtractionEngine
+    from ftw_crawler_ray.stages.dedup import dedup_exact, minhash_candidate_pairs
+    from ftw_crawler_ray.stages.textstats import quality_scores
+
+    # untimed warmup: page cache + worker pool + one tiny end-to-end
+    # crawl so imports / shuffle infra don't pollute the first timing
+    ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+    _w = scheduled_frontier(sf_dir, num_shards=32, replicate=1)
+    fetch_pool(_w, sf_dir).count()
+
+    queries: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        result = fn()
+        queries[name] = round(time.time() - t0, 3)
+        return result
+
+    # q1 — extraction only (the per-page compute floor)
+    n_pages = timed(
+        "extract", lambda: extract_pipeline(sf_dir, replicate=replicate).count()
+    )
+
+    # q2 — frontier schedule only (join + shuffle + shard state)
+    timed(
+        "schedule",
+        lambda: scheduled_frontier(
+            sf_dir, num_shards=32, replicate=replicate
+        ).count(),
+    )
+
+    # headline — full crawl: schedule → fetch join → extract
+    def full_crawl():
+        sched = scheduled_frontier(
+            sf_dir, num_shards=32, replicate=replicate
+        )
+        fetched = fetch_pool(sched, sf_dir)
+        engine = ExtractionEngine(
+            corpus_config(), crawl_ts=CRAWL_TS, keep_input_columns=("url",),
+            strict=True,
+        )
+        import pyarrow.compute as pc
+
+        ok = fetched.map_batches(
+            lambda t: t.filter(pc.equal(t["fetch_status"], "fetched")),
+            batch_format="pyarrow",
+        )
+        return ok.map_batches(
+            engine, batch_format="pyarrow", batch_size=None
+        ).count()
+
+    n_crawled = timed("crawl", full_crawl)
+
+    # training-data ops
+    timed("dedup_exact", lambda: dedup_exact(sf_dir).count())
+    timed("quality", lambda: quality_scores(sf_dir).count())
+
+    headline = queries["crawl"]
+    result = {
+        "metric": "crawl_e2e_seconds",
+        "value": headline,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "replicate": replicate,
+        "n_pages": n_pages,
+        "n_crawled": n_crawled,
+        "pages_per_sec": round(n_crawled / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    return result
+
+
+def _run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    calib = _compute_calibration(lo, hi)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "pages_per_sec_lo": r_lo.get("pages_per_sec"),
+        "pages_per_sec_hi": r_hi.get("pages_per_sec"),
+        # hardware ceiling of THIS single box for the same per-page
+        # compute, measured framework-free (multiprocessing pools at
+        # lo and hi workers): a shared clock/memory domain means 8→32
+        # procs never reaches 4x even with zero framework overhead —
+        # distinct nodes in a real N→4N cluster don't share either.
+        "compute_calibration_ceiling": calib,
+        "efficiency_vs_ceiling": round(eff / calib, 3) if calib else None,
+        "sf": r_hi.get("sf"),
+        "replicate": r_hi.get("replicate"),
+    }
+
+
+def _compute_calibration(lo: int, hi: int) -> float:
+    """Framework-free scaling ceiling of this box: the extraction
+    engine on identical in-memory batches under mp pools of lo / hi
+    workers; returns (rate_hi/rate_lo)/(hi/lo)."""
+    import multiprocessing as mp
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    globals()["_CALIB_SF"] = sf_dir
+
+    def rate(procs: int) -> float:
+        with mp.Pool(procs, initializer=_calib_init, initargs=(sf_dir,)) as p:
+            t0 = time.time()
+            rows = sum(p.map(_calib_work, [3] * procs))
+            return rows / (time.time() - t0)
+
+    r_lo, r_hi = rate(lo), rate(hi)
+    return round((r_hi / r_lo) / (hi / lo), 3)
+
+
+def _calib_init(sf_dir):
+    global _CALIB_RES, _CALIB_ENGINE
+    import pyarrow.parquet as pq
+
+    from ftw_crawler_ray.engine import ExtractionEngine
+    from ftw_crawler_ray.pipelines.extract import (
+        CRAWL_TS,
+        corpus_config,
+        resource_batch,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    _CALIB_RES = resource_batch(t.slice(0, 4000))
+    _CALIB_ENGINE = ExtractionEngine(
+        corpus_config(), crawl_ts=CRAWL_TS, keep_input_columns=("url",)
+    )
+
+
+def _calib_work(reps: int) -> int:
+    for _ in range(reps):
+        _CALIB_ENGINE(_CALIB_RES)
+    return _CALIB_RES.num_rows * reps
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(_run_scaling()))
+    else:
+        print(json.dumps(_run_bench()))

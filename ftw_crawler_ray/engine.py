@@ -178,6 +178,15 @@ class ExtractionEngine:
                     )
                 )
         self._schema = output_schema(config)
+        # Vectorized batch path: available when every extractor ships
+        # extract_batch (all built-ins do; SURVEY.md §2.9 lets plugins
+        # opt in) and the converter is the passthrough one. strict=False
+        # needs per-row quarantine → row path.
+        self._vectorized = (
+            strict
+            and type(self.converter) is PassthroughConverter
+            and all(hasattr(f.extractor, "extract_batch") for f in config.fields)
+        )
 
     # -- row-view construction ------------------------------------------------
     def _site_for(self, row):
@@ -254,8 +263,89 @@ class ExtractionEngine:
             values[field.name] = _to_arrow_value(field, value)
         return values
 
+    # -- vectorized batch path ----------------------------------------------
+    def _sites_for_ids(self, site_ids: list, urls: list) -> list:
+        """Site per row, resolved once per distinct site_id."""
+        cache: dict = {}
+        out = []
+        for sid, url in zip(site_ids, urls):
+            key = sid if sid is not None else url
+            if key not in cache:
+                site = None
+                if sid is not None and sid in self.sites_by_id:
+                    site = self.sites_by_id[sid]
+                elif url:
+                    for prefix, s in self._site_prefixes:
+                        if url.startswith(prefix):
+                            site = s
+                            break
+                cache[key] = site
+            out.append(cache[key])
+        return out
+
+    def _batch_ctx(self, batch: pa.Table) -> dict:
+        from .functions.metadata import canonicalize_metadata
+
+        names = batch.column_names
+        n = batch.num_rows
+
+        def col(name):
+            return batch[name].to_pylist() if name in names else None
+
+        urls = col("url") or col("loc") or [None] * n
+        content_types = col("content_type") or ["text/html"] * n
+        headers = col("headers")
+        if headers is not None:
+            headers = [dict(h) if isinstance(h, list) else (h or {}) for h in headers]
+        metadata = col("metadata")
+        if metadata is not None:
+            metadata = [
+                canonicalize_metadata(dict(m) if isinstance(m, list) else m)
+                if m
+                else None
+                for m in metadata
+            ]
+        site_ids = col("site_id") or [None] * n
+        return {
+            "n": n,
+            "urls": urls,
+            "lastmods": col("lastmod"),
+            "targets": col("target"),
+            "texts": col("text") or [None] * n,
+            "htmls": col("html") or col("body"),
+            "content_types": content_types,
+            "headers": headers,
+            "metadata": metadata,
+            "sites": self._sites_for_ids(site_ids, urls),
+            "crawl_ts": self.crawl_ts,
+        }
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        ctx = self._batch_ctx(batch)
+        arrays, names = [], []
+        for name in self.keep_input_columns:
+            if name in batch.column_names:
+                arrays.append(batch[name])
+                names.append(name)
+        for field in self.config.fields:
+            values = field.extractor.extract_batch(ctx)
+            is_dt = issubclass(field.type_, datetime)
+            default = _field_default(field) if field.required else None
+            out = []
+            for v in values:
+                if v is None:
+                    out.append(default)
+                    continue
+                _assert_proper_type(field, v, field.extractor)
+                out.append(_to_arrow_value(field, v))
+            arrays.append(pa.array(out, type=arrow_type_for(field)))
+            names.append(field.name)
+        return pa.table(dict(zip(names, arrays)))
+
     # -- the batch transform --------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._vectorized:
+            return self._call_vectorized(batch)
         rows = batch.to_pylist()
         columns = {f.name: [] for f in self.config.fields}
         error_col = []

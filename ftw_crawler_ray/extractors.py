@@ -237,11 +237,20 @@ class LastModifiedExtractor(URLInfoExtractor, HTTPHeaderExtractor):
     indexing time (reference :330-344)."""
 
     def extract_value(self, resource_info):
+        # memoized per row: typically evaluated for BOTH the
+        # `created` and `modified` fields of the same page
+        cache = getattr(resource_info, "cache", None)
+        if cache is not None and "lastmod_dt" in cache:
+            return cache["lastmod_dt"]
         if "lastmod" in resource_info.url_info:
-            return from_iso_datetime(resource_info.url_info["lastmod"])
-        if "last-modified" in resource_info.headers:
-            return from_iso_datetime(resource_info.headers["last-modified"])
-        return IndexingTimeExtractor().extract_value(resource_info)
+            value = from_iso_datetime(resource_info.url_info["lastmod"])
+        elif "last-modified" in resource_info.headers:
+            value = from_iso_datetime(resource_info.headers["last-modified"])
+        else:
+            value = IndexingTimeExtractor().extract_value(resource_info)
+        if cache is not None:
+            cache["lastmod_dt"] = value
+        return value
 
 
 class FilenameExtractor(HTTPHeaderExtractor):
@@ -356,3 +365,260 @@ class FieldMappingExtractor(HTTPHeaderExtractor):
         if field_value in self.mapping:
             return safe_unicode(self.mapping[field_value])
         return self._default_or_raise()
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch path (SURVEY.md §2.9: plugins may implement
+# ``extract_batch(ctx) -> list``; all built-ins do). ``ctx`` is the
+# per-batch context dict built by the engine: column lists plus memo
+# slots ("titles", "plain_norm") shared across extractors. The
+# convention: a list entry of None means "no value extracted" — the
+# engine applies required-default / optional-null per field exactly
+# like the row path.
+# ---------------------------------------------------------------------------
+
+
+def _headers_at(ctx, i) -> dict:
+    headers = ctx["headers"]
+    return headers[i] if headers is not None and headers[i] else {}
+
+
+def _header_lookup(headers: dict, name: str):
+    if not headers:
+        return None
+    if name in headers:
+        return headers[name]
+    lname = name.lower()
+    for k, v in headers.items():
+        if k.lower() == lname:
+            return v
+    return None
+
+
+def _metadata_at(ctx, i) -> dict:
+    metadata = ctx["metadata"]
+    return metadata[i] if metadata is not None and metadata[i] else {}
+
+
+def _plain_norm(ctx):
+    if "plain_norm" not in ctx:
+        texts = ctx["texts"]
+        ctx["plain_norm"] = [
+            normalize_whitespace(t) if t is not None else "" for t in texts
+        ]
+    return ctx["plain_norm"]
+
+
+def _patch(cls):
+    def deco(fn):
+        setattr(cls, "extract_batch", fn)
+        return fn
+
+    return deco
+
+
+@_patch(PlainTextExtractor)
+def _plain_text_batch(self, ctx):
+    return list(_plain_norm(ctx))
+
+
+@_patch(UIDExtractor)
+def _uid_batch(self, ctx):
+    return [uid_for_url(u) if u is not None else None for u in ctx["urls"]]
+
+
+@_patch(SlugExtractor)
+def _slug_batch(self, ctx):
+    return [slug_from_url(u) if u is not None else None for u in ctx["urls"]]
+
+
+@_patch(URLExtractor)
+def _url_batch(self, ctx):
+    return list(ctx["urls"])
+
+
+@_patch(TargetURLExtractor)
+def _target_batch(self, ctx):
+    targets = ctx["targets"]
+    urls = ctx["urls"]
+    if targets is None:
+        return list(urls)
+    return [t if t is not None else u for t, u in zip(targets, urls)]
+
+
+@_patch(XPathExtractor)
+def _xpath_batch(self, ctx):
+    from .functions.markup import first_node_text, sniff_encoding
+
+    out = []
+    htmls = ctx["htmls"]
+    ctypes = ctx["content_types"]
+    for i in range(ctx["n"]):
+        body = htmls[i] if htmls is not None else None
+        if body is None or ctypes[i] not in MARKUP_TYPES:
+            out.append(None)
+            continue
+        if isinstance(body, str):
+            body = body.encode("utf-8")
+        out.append(first_node_text(body, self.xpath, sniff_encoding(body)))
+    return out
+
+
+@_patch(TitleExtractor)
+def _title_batch(self, ctx):
+    import base64 as _b64
+
+    if "titles" in ctx:
+        return ctx["titles"]
+    h1 = XPathExtractor("//div[@id='content']/h1").extract_batch(ctx)
+    titles = []
+    for i in range(ctx["n"]):
+        headers = _headers_at(ctx, i)
+        value = None
+        xdoc = _header_lookup(headers, "X-Document-Title")
+        if xdoc is not None:
+            value = _b64.b64decode(xdoc).decode("utf-8").strip()
+        elif h1[i] is not None:
+            value = h1[i]
+        else:
+            value = _metadata_at(ctx, i).get("title")
+            if value is None:
+                cd = _header_lookup(headers, "content-disposition")
+                if cd is not None:
+                    value = parse_content_disposition_filename(cd)
+                if value is None:
+                    value = (
+                        slug_from_url(ctx["urls"][i])
+                        if ctx["urls"][i] is not None
+                        else None
+                    )
+        titles.append(normalize_whitespace(value) if value is not None else None)
+    ctx["titles"] = titles
+    return titles
+
+
+@_patch(SnippetTextExtractor)
+def _snippet_batch(self, ctx):
+    titles = TitleExtractor().extract_batch(ctx)
+    plains = _plain_norm(ctx)
+    out = []
+    for plain, title in zip(plains, titles):
+        snippet = plain.strip()
+        if title is not None:
+            title = title.strip()
+            if title and snippet.startswith(title):
+                snippet = snippet.lstrip(title)
+        out.append(snippet)
+    return out
+
+
+@_patch(DescriptionExtractor)
+def _description_batch(self, ctx):
+    return [_metadata_at(ctx, i).get("description") for i in range(ctx["n"])]
+
+
+@_patch(CreatorExtractor)
+def _creator_batch(self, ctx):
+    return [_metadata_at(ctx, i).get("creator") for i in range(ctx["n"])]
+
+
+@_patch(KeywordsExtractor)
+def _keywords_batch(self, ctx):
+    out = []
+    for i in range(ctx["n"]):
+        value = _metadata_at(ctx, i).get("keywords")
+        out.append(split_keywords(value) if value is not None else None)
+    return out
+
+
+@_patch(LastModifiedExtractor)
+def _lastmod_batch(self, ctx):
+    crawl_ts = ctx["crawl_ts"]
+    lastmods = ctx["lastmods"]
+    headers = ctx["headers"]
+    out = []
+    for i in range(ctx["n"]):
+        lm = lastmods[i] if lastmods is not None else None
+        if lm is not None:
+            out.append(from_iso_datetime(lm))
+            continue
+        hlm = _header_lookup(_headers_at(ctx, i), "last-modified") if headers else None
+        if hlm is not None:
+            out.append(from_iso_datetime(hlm))
+        else:
+            out.append(crawl_ts if crawl_ts is not None else
+                       __import__("datetime").datetime.now(
+                           __import__("datetime").timezone.utc))
+    return out
+
+
+@_patch(FilenameExtractor)
+def _filename_batch(self, ctx):
+    out = []
+    for i in range(ctx["n"]):
+        cd = _header_lookup(_headers_at(ctx, i), "content-disposition")
+        out.append(
+            parse_content_disposition_filename(cd) if cd is not None else None
+        )
+    return out
+
+
+@_patch(ConstantExtractor)
+def _constant_batch(self, ctx):
+    value = self.value
+    if isinstance(value, (bytes, str)):
+        value = safe_unicode(value)
+    if self.field is not None and self.field.multivalued:
+        value = [safe_unicode(v) for v in self.value]
+    return [value] * ctx["n"]
+
+
+@_patch(IndexingTimeExtractor)
+def _indexing_time_batch(self, ctx):
+    if ctx["crawl_ts"] is not None:
+        return [ctx["crawl_ts"]] * ctx["n"]
+    now = datetime.now(timezone.utc)
+    return [now] * ctx["n"]
+
+
+@_patch(SiteAttributeExtractor)
+def _site_attr_batch(self, ctx):
+    out = []
+    for site in ctx["sites"]:
+        value = site.attributes.get(self.key) if site is not None else None
+        out.append(safe_unicode(value) if value is not None else None)
+    return out
+
+
+@_patch(HeaderMappingExtractor)
+def _header_mapping_batch(self, ctx):
+    default = safe_unicode(self.default) if self.default is not None else None
+    is_ct = self.header_name.lower() == "content-type"
+    out = []
+    for i in range(ctx["n"]):
+        hv = _header_lookup(_headers_at(ctx, i), self.header_name)
+        if hv is None and is_ct:
+            # the Content-Type header is synthesized from the
+            # content_type column (fetcher.py:75 derives one from the
+            # other) — same consistency rule as the row path
+            hv = ctx["content_types"][i]
+        if hv is None:
+            out.append(default)
+            continue
+        if is_ct:
+            hv = get_content_type(hv)
+        out.append(safe_unicode(self.mapping[hv]) if hv in self.mapping else default)
+    return out
+
+
+@_patch(FieldMappingExtractor)
+def _field_mapping_batch(self, ctx):
+    mapped_field = self.field.config.get_field(self.field_name)
+    vals = mapped_field.extractor.extract_batch(ctx)
+    default = safe_unicode(self.default) if self.default is not None else None
+    return [
+        (safe_unicode(self.mapping[v]) if v in self.mapping else default)
+        if v is not None
+        else default
+        for v in vals
+    ]

@@ -33,8 +33,16 @@ def to_iso_datetime(dt: datetime) -> str:
 
 def from_iso_datetime(datestring: str) -> datetime:
     """Parse ISO-8601 (date-only '2014-12-31' and offset forms
-    included) → aware UTC datetime (reference utils.py:33-37)."""
-    return to_utc(dateutil.parser.parse(datestring))
+    included) → aware UTC datetime (reference utils.py:33-37).
+
+    C-level ``fromisoformat`` fast path (this runs twice per page in
+    the extract hot loop); dateutil fallback keeps the reference's
+    permissive grammar for non-ISO strings."""
+    try:
+        dt = datetime.fromisoformat(datestring)
+    except ValueError:
+        dt = dateutil.parser.parse(datestring)
+    return to_utc(dt)
 
 
 def to_http_datetime(dt: datetime) -> str:

@@ -33,7 +33,7 @@ import ray.data
 
 from ..engine import ExtractionEngine
 from ..functions.urlnorm import host_hash, host_of
-from ..sources.pages import read_pages
+from ..sources.pages import read_frontier, read_index_state, read_pages
 from ..state.frontier import FrontierShard
 from ..stages.incremental import is_modified_mask, join_index_state
 from .extract import CRAWL_TS, corpus_config
@@ -69,34 +69,115 @@ def fetch_status_of(doc_id: int) -> str:
     return "fetched"
 
 
+def _shard_column(site_ids: pa.Array, num_shards: int) -> pa.Array:
+    """shard = host_hash(host) % num_shards, hashed once per distinct
+    host (hosts repeat heavily) — the single partitioning key the
+    whole crawl reuses (SURVEY.md §7.3)."""
+    enc = pc.dictionary_encode(site_ids.combine_chunks())
+    unique_shards = np.array(
+        [host_hash(h) % num_shards for h in enc.dictionary.to_pylist()],
+        dtype=np.int32,
+    )
+    return pa.array(
+        unique_shards[enc.indices.to_numpy(zero_copy_only=False)], pa.int32()
+    )
+
+
+_PLAN_INPUT_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),  # 'f' frontier | 'i' index_state
+        ("url", pa.string()),
+        ("lastmod", pa.string()),
+        ("priority", pa.string()),
+        ("site_id", pa.string()),
+        ("seq", pa.int64()),
+        ("last_modified", pa.timestamp("us")),
+        ("shard", pa.int32()),
+    ]
+)
+
+
 def scheduled_frontier(
     sf_dir: str,
     num_shards: int = 8,
     checkpoint_dir: str | None = None,
     seen_mode: str = "exact",
     robots_map: dict | None = None,
+    replicate: int = 1,
 ) -> ray.data.Dataset:
-    """Frontier → modified-only → shard shuffle → per-shard schedule.
+    """Frontier ∪ index_state → ONE host-hash shard shuffle →
+    per-shard (J1 lookup + is_modified + dedup/robots/order/politeness).
 
-    Returns every admitted row with status/fetch_order/planned_offset
-    (the crawl plan + lineage in one table)."""
-    frontier = join_index_state(
-        sf_dir, columns=("url", "lastmod", "priority", "site_id", "seq")
-    )
+    Both inputs are co-partitioned on the same canonical-host shard
+    key, so the last-indexed lookup (J1) happens inside the shard
+    group instead of a separate hash-join shuffle — one all-to-all
+    for the whole scheduling stage instead of two. Returns every
+    admitted row with status/fetch_order/planned_offset (the crawl
+    plan + lineage in one table).
+    """
 
-    def modified_with_shard(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pa.array(is_modified_mask(batch)))
-        shards = pa.array(
-            [host_hash(host_of(u)) % num_shards for u in batch["url"].to_pylist()],
-            pa.int32(),
+    def frontier_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["f"] * n, pa.string()),
+                "url": batch["url"],
+                "lastmod": batch["lastmod"],
+                "priority": batch["priority"],
+                "site_id": batch["site_id"],
+                "seq": batch["seq"],
+                "last_modified": pa.nulls(n, pa.timestamp("us")),
+                "shard": _shard_column(batch["site_id"], num_shards),
+            },
+            schema=_PLAN_INPUT_SCHEMA,
         )
-        return batch.drop(["last_indexed"]).append_column("shard", shards)
 
-    sharded = frontier.map_batches(modified_with_shard, batch_format="pyarrow")
+    def index_side(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "kind": pa.array(["i"] * n, pa.string()),
+                "url": batch["url"],
+                "lastmod": pa.nulls(n, pa.string()),
+                "priority": pa.nulls(n, pa.string()),
+                "site_id": batch["crawler_site_id"],
+                "seq": pa.nulls(n, pa.int64()),
+                "last_modified": batch["last_modified"],
+                "shard": _shard_column(batch["crawler_site_id"], num_shards),
+            },
+            schema=_PLAN_INPUT_SCHEMA,
+        )
+
+    frontier = read_frontier(sf_dir, replicate).map_batches(
+        frontier_side, batch_format="pyarrow", batch_size=None
+    )
+    index_state = read_index_state(sf_dir, replicate).map_batches(
+        index_side, batch_format="pyarrow", batch_size=None
+    )
+    both = frontier.union(index_state)
 
     robots = SANDBOX_ROBOTS if robots_map is None else robots_map
 
     def schedule_group(group: pa.Table) -> pa.Table:
+        f_mask = pc.equal(group["kind"], "f")
+        frontier_rows = group.filter(f_mask)
+        index_rows = group.filter(pc.invert(f_mask))
+        # J1 lookup inside the shard: url → last_indexed
+        lookup = dict(
+            zip(index_rows["url"].to_pylist(),
+                index_rows["last_modified"].to_pylist())
+        )
+        last_indexed = pa.array(
+            [lookup.get(u) for u in frontier_rows["url"].to_pylist()],
+            pa.timestamp("us"),
+        )
+        frontier_rows = frontier_rows.drop(
+            ["kind", "last_modified"]
+        ).append_column("last_indexed", last_indexed)
+        frontier_rows = frontier_rows.filter(
+            pa.array(is_modified_mask(frontier_rows))
+        ).drop(["last_indexed"])
+
         shard_id = int(group["shard"][0].as_py())
         shard = FrontierShard(
             shard_id,
@@ -105,14 +186,14 @@ def scheduled_frontier(
             robots_map=robots,
         )
         shard.load_checkpoint()
-        out = shard.schedule(group, n_429_for=sandbox_n_429)
+        out = shard.schedule(frontier_rows, n_429_for=sandbox_n_429)
         shard.checkpoint()
         return out
 
     # num_partitions == num_shards: one shuffle partition per shard —
     # no empty schemaless partitions (they break downstream joins) and
     # exactly one scheduler invocation per shard.
-    return sharded.groupby("shard", num_partitions=num_shards).map_groups(
+    return both.groupby("shard", num_partitions=num_shards).map_groups(
         schedule_group, batch_format="pyarrow"
     )
 
@@ -128,7 +209,8 @@ _FETCH_INPUT_SCHEMA = pa.schema(
 )
 
 
-def fetch_stage(scheduled: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
+def fetch_stage(scheduled: ray.data.Dataset, sf_dir: str,
+                replicate: int = 1) -> ray.data.Dataset:
     """S5 in-sandbox: resolve page bodies by hash join on url, then
     apply the deterministic fault rules. Production swaps this for an
     HTTP fetch actor pool with the same output columns."""
@@ -142,8 +224,8 @@ def fetch_stage(scheduled: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
         batch = batch.filter(pc.equal(batch["status"], "scheduled"))
         return batch.select(_FETCH_INPUT_SCHEMA.names).cast(_FETCH_INPUT_SCHEMA)
 
-    to_fetch = scheduled.map_batches(scheduled_only, batch_format="pyarrow")
-    pages = read_pages(sf_dir).select_columns(
+    to_fetch = scheduled.map_batches(scheduled_only, batch_format="pyarrow", batch_size=None)
+    pages = read_pages(sf_dir, replicate).select_columns(
         ["url", "html", "text", "content_type", "site_id", "doc_id"]
     )
     joined = to_fetch.join(
@@ -160,7 +242,108 @@ def fetch_stage(scheduled: ray.data.Dataset, sf_dir: str) -> ray.data.Dataset:
         ]
         return batch.append_column("fetch_status", pa.array(status, pa.string()))
 
-    return joined.map_batches(mark_status, batch_format="pyarrow")
+    return joined.map_batches(mark_status, batch_format="pyarrow", batch_size=None)
+
+
+class FetchActor:
+    """S5 fetch as an actor-pool stage driven BY the crawl plan —
+    the production shape (reference fetcher.py:45-83 rebuilt as a
+    pool): one actor holds its long-lived fetch state (HTTP session
+    in production; the corpus store here) in ``__init__``, and each
+    ``__call__`` turns a batch of planned urls into resource rows.
+
+    This replaces the plan ⋈ pages hash join of ``fetch_stage``: no
+    all-to-all shuffle — the plan streams straight from the scheduler
+    into the pool, which is how a 10^10-url crawl must work (bodies
+    come from the network, not from a joinable table). The sandbox
+    resolves bodies deterministically from the base documents table
+    (small by construction) keyed by doc_id.
+    """
+
+    def __init__(self, sf_dir: str):
+        import pyarrow.parquet as pq
+
+        from ..sources.pages import REPLICA_OFFSET
+
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        self._text_by_id = dict(
+            zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        )
+        self._offset = REPLICA_OFFSET
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.pages import build_pages
+
+        urls = batch["url"].to_pylist()
+        doc_ids = [_doc_id_of(u) for u in urls]
+        texts = [self._text_by_id.get(d % self._offset) for d in doc_ids]
+        present = pa.array([t is not None for t in texts])
+        ok = batch.filter(present)
+        ok_ids = pa.array(
+            [d for d, t in zip(doc_ids, texts) if t is not None], pa.int64()
+        )
+        ok_texts = pa.array([t for t in texts if t is not None], pa.string())
+        pages = build_pages(ok_ids, ok_texts)
+        status = pa.array(
+            [fetch_status_of(int(d)) for d in ok_ids.to_pylist()], pa.string()
+        )
+        resource = pa.table(
+            {
+                "url": ok["url"],
+                "lastmod": ok["lastmod"],
+                "shard": ok["shard"],
+                "seq": ok["seq"],
+                "fetch_order": ok["fetch_order"],
+                "html": pages["html"],
+                "text": pages["text"],
+                "content_type": pages["content_type"],
+                "site_id": pages["site_id"],
+                "doc_id": pages["doc_id"],
+                "fetch_status": status,
+            }
+        )
+        missing = batch.filter(pc.invert(present))
+        if missing.num_rows:
+            n = missing.num_rows
+            missing_t = pa.table(
+                {
+                    "url": missing["url"],
+                    "lastmod": missing["lastmod"],
+                    "shard": missing["shard"],
+                    "seq": missing["seq"],
+                    "fetch_order": missing["fetch_order"],
+                    "html": pa.nulls(n, pa.binary()),
+                    "text": pa.nulls(n, pa.string()),
+                    "content_type": pa.nulls(n, pa.string()),
+                    "site_id": pa.nulls(n, pa.string()),
+                    "doc_id": pa.nulls(n, pa.int64()),
+                    "fetch_status": pa.array(["missing"] * n, pa.string()),
+                }
+            )
+            resource = pa.concat_tables([resource, missing_t])
+        return resource
+
+
+def fetch_pool(scheduled: ray.data.Dataset, sf_dir: str,
+               concurrency=(2, 16), batch_size: int = 2048) -> ray.data.Dataset:
+    """Plan → FetchActor pool → resource rows (no shuffle)."""
+
+    def scheduled_only(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "status" not in batch.column_names:
+            return _FETCH_INPUT_SCHEMA.empty_table()
+        batch = batch.filter(pc.equal(batch["status"], "scheduled"))
+        return batch.select(_FETCH_INPUT_SCHEMA.names).cast(_FETCH_INPUT_SCHEMA)
+
+    plan = scheduled.map_batches(scheduled_only, batch_format="pyarrow", batch_size=None)
+    return plan.map_batches(
+        FetchActor,
+        fn_constructor_args=(sf_dir,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
 
 
 class ExtractOrQuarantine:
@@ -202,7 +385,7 @@ def crawl(
     1. schedule → ``{out_dir}/plan`` Parquet (the persisted crawl
        plan doubles as per-partition lineage; shard checkpoints are
        written as a side effect, once).
-    2. plan → fetch join → extract/quarantine →
+    2. plan → fetch actor pool → extract/quarantine →
        ``{out_dir}/docs`` Parquet partitioned by shard (resumable
        layout: one directory per shard).
     Status counts come from the written Parquet (metadata-cheap), not
@@ -226,14 +409,14 @@ def crawl(
     fetch_counts: dict[str, int] = {}
     if plan_counts.get("scheduled", 0) > 0:
         plan = ray.data.read_parquet(plan_dir)
-        fetched = fetch_stage(plan, sf_dir)
+        fetched = fetch_pool(plan, sf_dir)
         engine = ExtractionEngine(
             corpus_config(), crawl_ts=CRAWL_TS,
             keep_input_columns=("url", "shard", "seq", "fetch_status"),
             strict=True,
         )
         fetched.map_batches(
-            ExtractOrQuarantine(engine), batch_format="pyarrow", batch_size=1024
+            ExtractOrQuarantine(engine), batch_format="pyarrow", batch_size=None
         ).write_parquet(docs_dir, partition_cols=["shard"])
         docs = pads.dataset(docs_dir, partitioning="hive")
         for b in docs.to_table(columns=["fetch_status"])[
@@ -251,14 +434,19 @@ def crawl(
     }
 
 
-def crawl_output(sf_dir: str, num_shards: int = 8) -> ray.data.Dataset:
+def crawl_output(sf_dir: str, num_shards: int = 8,
+                 replicate: int = 1) -> ray.data.Dataset:
     """The extracted-documents Dataset of a fresh crawl (no
     checkpoint side effects) — used by the oracle-checked query."""
-    scheduled = scheduled_frontier(sf_dir, num_shards=num_shards)
-    fetched = fetch_stage(scheduled, sf_dir)
-    ok = fetched.filter(expr="fetch_status == 'fetched'")
+    scheduled = scheduled_frontier(sf_dir, num_shards=num_shards,
+                                   replicate=replicate)
+    fetched = fetch_pool(scheduled, sf_dir)
+    ok = fetched.map_batches(
+        lambda t: t.filter(pc.equal(t["fetch_status"], "fetched")),
+        batch_format="pyarrow",
+    )
     engine = ExtractionEngine(
         corpus_config(), crawl_ts=CRAWL_TS, keep_input_columns=("url",),
         strict=True,
     )
-    return ok.map_batches(engine, batch_format="pyarrow", batch_size=1024)
+    return ok.map_batches(engine, batch_format="pyarrow", batch_size=None)

@@ -108,13 +108,15 @@ def resource_batch(batch: pa.Table) -> pa.Table:
     ).append_column("seq", frontier["seq"])
 
 
-def read_resources(sf_dir: str) -> ray.data.Dataset:
-    return _documents(sf_dir).map_batches(resource_batch, batch_format="pyarrow")
+def read_resources(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+    return _documents(sf_dir, replicate).map_batches(
+        resource_batch, batch_format="pyarrow", batch_size=None
+    )
 
 
 def extract_pipeline(sf_dir: str, *, config: Config | None = None,
                      keep: tuple = ("url",), strict: bool = True,
-                     batch_size: int = 1024,
+                     batch_size=None, replicate: int = 1,
                      concurrency=None) -> ray.data.Dataset:
     """resources → engine map_batches → output Dataset (streaming).
 
@@ -131,6 +133,6 @@ def extract_pipeline(sf_dir: str, *, config: Config | None = None,
     kwargs = {}
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
-    return read_resources(sf_dir).map_batches(
+    return read_resources(sf_dir, replicate).map_batches(
         engine, batch_format="pyarrow", batch_size=batch_size, **kwargs
     )

@@ -43,25 +43,30 @@ def _ids_hosts(batch: pa.Table):
     return doc_id, ids, host
 
 
-def pages_batch(batch: pa.Table) -> pa.Table:
-    """documents batch → pages batch (vectorized Arrow kernels)."""
-    doc_id, ids, host = _ids_hosts(batch)
+def build_pages(doc_id: pa.Array, doc_text: pa.Array) -> pa.Table:
+    """(doc_id, document text) → full pages columns. The shared
+    kernel behind both the pages-table source and the sandbox fetch
+    actor (which resolves a body per planned url)."""
+    ids = pc.cast(doc_id, pa.string())
+    host_n = pc.cast(pa.array(doc_id.to_numpy() % NUM_HOSTS), pa.string())
+    host = pc.binary_join_element_wise("h", host_n, ".example.org", "")
     url = pc.binary_join_element_wise("http://", host, "/docs/page-", ids, "")
     warc_ts = pa.array(
         TS0 + (doc_id.to_numpy() * 60_000_000).astype("timedelta64[us]"),
         type=pa.timestamp("us"),
     )
     title = pc.binary_join_element_wise("Doc ", ids, "")
-    text = pc.binary_join_element_wise(title, "\n", batch["text"].combine_chunks(), "")
+    text = pc.binary_join_element_wise(title, "\n", doc_text, "")
+    n = len(ids)
     html = pc.binary_join_element_wise(
-        pa.array([_HTML_PRE] * len(ids), pa.binary()),
+        pa.array([_HTML_PRE] * n, pa.binary()),
         pc.cast(ids, pa.binary()),
-        pa.array([_HTML_MID] * len(ids), pa.binary()),
+        pa.array([_HTML_MID] * n, pa.binary()),
         pc.cast(ids, pa.binary()),
-        pa.array([_HTML_MID2] * len(ids), pa.binary()),
-        pc.cast(batch["text"].combine_chunks(), pa.binary()),
-        pa.array([_HTML_POST] * len(ids), pa.binary()),
-        pa.array([b""] * len(ids), pa.binary()),
+        pa.array([_HTML_MID2] * n, pa.binary()),
+        pc.cast(doc_text, pa.binary()),
+        pa.array([_HTML_POST] * n, pa.binary()),
+        pa.array([b""] * n, pa.binary()),
     )
     return pa.table(
         {
@@ -69,12 +74,18 @@ def pages_batch(batch: pa.Table) -> pa.Table:
             "warc_ts": warc_ts,
             "html": html,
             "text": text,
-            "lang": batch["lang"],
-            "content_type": pa.array(["text/html"] * len(ids), pa.string()),
+            "content_type": pa.array(["text/html"] * n, pa.string()),
             "site_id": host,
-            "doc_id": batch["doc_id"],
+            "doc_id": doc_id,
         }
     )
+
+
+def pages_batch(batch: pa.Table) -> pa.Table:
+    """documents batch → pages batch (vectorized Arrow kernels)."""
+    doc_id = batch["doc_id"].combine_chunks()
+    pages = build_pages(doc_id, batch["text"].combine_chunks())
+    return pages.append_column("lang", batch["lang"])
 
 
 def frontier_batch(batch: pa.Table) -> pa.Table:
@@ -89,22 +100,33 @@ def frontier_batch(batch: pa.Table) -> pa.Table:
     doc_id, ids, host = _ids_hosts(batch)
     np_id = doc_id.to_numpy()
     url = pc.binary_join_element_wise("http://", host, "/docs/page-", ids, "")
-    warc = TS0 + (np_id * 60_000_000).astype("timedelta64[us]")
+    warc = pa.array(
+        TS0 + (np_id * 60_000_000).astype("timedelta64[us]"),
+        type=pa.timestamp("us"),
+    )
     # ISO lastmod string of warc_ts, null for every 3rd row (HEAD-
     # fallback path in the reference, fetcher.py:35-42)
-    lastmod_all = np.datetime_as_string(warc.astype("datetime64[s]"), unit="s")
-    lastmod = pa.array(
-        np.where(np_id % 3 == 2, None, lastmod_all), type=pa.string()
+    lastmod = pc.if_else(
+        pa.array(np_id % 3 == 2),
+        pa.nulls(len(np_id), pa.string()),
+        # cast to second resolution first: Arrow's %S prints
+        # fractional digits for sub-second timestamp types
+        pc.strftime(pc.cast(warc, pa.timestamp("s")), format="%Y-%m-%dT%H:%M:%S"),
     )
-    changefreq = pa.array(
-        np.where(np_id % 5 == 0, "daily", None), type=pa.string()
+    changefreq = pc.if_else(
+        pa.array(np_id % 5 == 0),
+        pa.scalar("daily", pa.string()),
+        pa.nulls(len(np_id), pa.string()),
     )
-    priority = pa.array(
-        np.where(np_id % 7 == 0, "1.0", "0.5"), type=pa.string()
+    priority = pc.if_else(
+        pa.array(np_id % 7 == 0),
+        pa.scalar("1.0", pa.string()),
+        pa.scalar("0.5", pa.string()),
     )
-    target = pa.array(
-        np.where(np_id % 13 == 0, np.char.add(url.to_numpy(zero_copy_only=False).astype(str), "?target=1"), None),
-        type=pa.string(),
+    target = pc.if_else(
+        pa.array(np_id % 13 == 0),
+        pc.binary_join_element_wise(url, "?target=1", ""),
+        pa.nulls(len(np_id), pa.string()),
     )
     return pa.table(
         {
@@ -171,20 +193,58 @@ def index_state_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _documents(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+# Replica doc_id offset: large and odd so every replica produces fresh
+# urls while the % 41 host spread and the %3/%5/%6/... property rules
+# still vary across replicas (bench-scale corpus amplification).
+REPLICA_OFFSET = 1_000_003
+
+
+def _documents(sf_dir: str, replicate: int = 1,
+               num_blocks: int | None = None) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    # A single small parquet file reads as one block, and Ray fuses the
+    # downstream map chain into per-block tasks — parallelism would be
+    # bounded at 1 regardless of cluster size. Split early (row-range
+    # split, no shuffle) so every map stage fans out.
+    if num_blocks is None:
+        num_blocks = 64 if replicate > 1 else None
+    if num_blocks:
+        ds = ds.repartition(num_blocks)
+    if replicate > 1:
+
+        def amplify(batch: pa.Table) -> pa.Table:
+            idx = batch.column_names.index("doc_id")
+            base = batch["doc_id"].to_numpy()
+            return pa.concat_tables(
+                batch.set_column(
+                    idx, "doc_id", pa.array(base + rep * REPLICA_OFFSET)
+                )
+                for rep in range(replicate)
+            )
+
+        # batch_size=None → one task per (small) input block: a row
+        # minimum here would BUNDLE the freshly split blocks back
+        # together and collapse parallelism to a handful of tasks
+        ds = ds.map_batches(amplify, batch_format="pyarrow", batch_size=None)
+    return ds
+
+
+def read_pages(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+    """The pages corpus as a streaming Dataset (never materialized)."""
+    return _documents(sf_dir, replicate).map_batches(
+        pages_batch, batch_format="pyarrow", batch_size=None
     )
 
 
-def read_pages(sf_dir: str) -> ray.data.Dataset:
-    """The pages corpus as a streaming Dataset (never materialized)."""
-    return _documents(sf_dir).map_batches(pages_batch, batch_format="pyarrow")
+def read_frontier(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+    return _documents(sf_dir, replicate).map_batches(
+        frontier_batch, batch_format="pyarrow", batch_size=None
+    )
 
 
-def read_frontier(sf_dir: str) -> ray.data.Dataset:
-    return _documents(sf_dir).map_batches(frontier_batch, batch_format="pyarrow")
-
-
-def read_index_state(sf_dir: str) -> ray.data.Dataset:
-    return _documents(sf_dir).map_batches(index_state_batch, batch_format="pyarrow")
+def read_index_state(sf_dir: str, replicate: int = 1) -> ray.data.Dataset:
+    return _documents(sf_dir, replicate).map_batches(
+        index_state_batch, batch_format="pyarrow", batch_size=None
+    )

@@ -44,7 +44,7 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    hashed = docs.map_batches(_md5_hex_column, batch_format="pyarrow").select_columns(
+    hashed = docs.map_batches(_md5_hex_column, batch_format="pyarrow", batch_size=None).select_columns(
         ["doc_id", "text_md5"]
     )
     return hashed.groupby("text_md5").aggregate(
@@ -163,11 +163,11 @@ def minhash_candidate_pairs(
     )
     sigs = docs.map_batches(
         MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "k": k},
-        batch_format="pyarrow", concurrency=4,
+        batch_format="pyarrow", batch_size=None, concurrency=4,
     )
     bands = sigs.map_batches(
         lambda t: _explode_bands(t, n_bands, rows_per_band),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
     def pairs_in_bucket(group: pa.Table) -> pa.Table:
@@ -229,7 +229,7 @@ def simhash_table(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return docs.map_batches(add_simhash, batch_format="pyarrow")
+    return docs.map_batches(add_simhash, batch_format="pyarrow", batch_size=None)
 
 
 def hamming64(a: int, b: int) -> int:

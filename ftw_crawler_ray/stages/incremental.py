@@ -34,24 +34,23 @@ def _parse_lastmod_us(lastmod: pa.ChunkedArray | pa.Array) -> np.ndarray:
     null). The corpus writes strict ISO so a vectorized numpy cast is
     exact; arbitrary sitemap dates go through functions.dates kernels
     in the sitemap parse stage."""
-    vals = lastmod.to_numpy(zero_copy_only=False)
-    out = np.full(len(vals), np.datetime64("NaT"), dtype="datetime64[us]")
-    mask = np.array([v is not None for v in vals])
-    if mask.any():
-        out[mask] = np.array(
-            [np.datetime64(v, "us") for v in np.asarray(vals, dtype=object)[mask]]
-        )
-    return out
+    vals = lastmod.to_pylist()
+    return np.array(
+        [v if v is not None else "NaT" for v in vals], dtype="datetime64[us]"
+    )
 
 
 def join_index_state(
     sf_dir: str,
     broadcast: bool = False,
     columns: tuple = ("url", "lastmod", "seq"),
+    replicate: int = 1,
 ) -> ray.data.Dataset:
     """J1: frontier LEFT JOIN index_state ON url → adds last_indexed."""
-    frontier = read_frontier(sf_dir).select_columns(list(columns))
-    index_state = read_index_state(sf_dir).select_columns(["url", "last_modified"])
+    frontier = read_frontier(sf_dir, replicate).select_columns(list(columns))
+    index_state = read_index_state(sf_dir, replicate).select_columns(
+        ["url", "last_modified"]
+    )
 
     if broadcast:
         lookup_ref = ray.put(
@@ -72,7 +71,7 @@ def join_index_state(
                 "last_indexed", pa.array(vals, type=pa.timestamp("us"))
             )
 
-        return frontier.map_batches(add_last_indexed, batch_format="pyarrow")
+        return frontier.map_batches(add_last_indexed, batch_format="pyarrow", batch_size=None)
 
     joined = frontier.join(
         index_state,
@@ -87,18 +86,19 @@ def join_index_state(
                 for c in t.column_names
             ]
         ),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
 
 
 def is_modified_mask(batch: pa.Table) -> np.ndarray:
     lastmod_us = _parse_lastmod_us(batch["lastmod"])
-    last_indexed = batch["last_indexed"].to_numpy(zero_copy_only=False)
-    li_us = np.full(len(batch), np.datetime64("NaT"), dtype="datetime64[us]")
-    mask = np.array([v is not None for v in last_indexed])
-    if mask.any():
-        li_us[mask] = np.array(
-            [np.datetime64(v, "us") for v in last_indexed[mask]]
+    li_col = batch["last_indexed"]
+    if pa.types.is_timestamp(li_col.type):
+        li_us = li_col.to_numpy(zero_copy_only=False).astype("datetime64[us]")
+    else:  # object fallback (e.g. pandas-roundtripped blocks)
+        vals = li_col.to_pylist()
+        li_us = np.array(
+            [v if v is not None else "NaT" for v in vals], dtype="datetime64[us]"
         )
     never_indexed = np.isnat(li_us)
     no_lastmod = np.isnat(lastmod_us)
@@ -116,5 +116,5 @@ def fetch_candidates(sf_dir: str) -> ray.data.Dataset:
         return out.select(["url", "seq"])
 
     return join_index_state(sf_dir).map_batches(
-        keep_modified, batch_format="pyarrow"
+        keep_modified, batch_format="pyarrow", batch_size=None
     )

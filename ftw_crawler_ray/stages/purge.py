@@ -54,4 +54,4 @@ def purge_candidates(sf_dir: str, site_prefix: re.Pattern = _SITE_PREFIX):
         )
         return batch.filter(keep).select(["uid", "url"])
 
-    return gone.map_batches(scope_to_sites, batch_format="pyarrow")
+    return gone.map_batches(scope_to_sites, batch_format="pyarrow", batch_size=None)

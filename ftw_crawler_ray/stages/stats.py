@@ -27,7 +27,7 @@ def host_stats(sf_dir: str) -> ray.data.Dataset:
         return g.rename_columns(["site_id", "n_part", "min_part", "max_part"])
 
     agg = (
-        frontier.map_batches(partials, batch_format="pyarrow")
+        frontier.map_batches(partials, batch_format="pyarrow", batch_size=None)
         .groupby("site_id")
         .aggregate(
             Sum("n_part", alias_name="n_pages"),

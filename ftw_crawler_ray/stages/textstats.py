@@ -35,7 +35,7 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
             {"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())}
         )
 
-    return docs.map_batches(count, batch_format="pyarrow")
+    return docs.map_batches(count, batch_format="pyarrow", batch_size=None)
 
 
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
@@ -70,7 +70,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return docs.map_batches(score, batch_format="pyarrow")
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 class LangId:
@@ -100,7 +100,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=2).select_columns(
+    return docs.map_batches(LangId, batch_format="pyarrow", batch_size=None, concurrency=2).select_columns(
         ["doc_id", "lang", "lang_pred"]
     )
 
@@ -145,4 +145,4 @@ def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
             {"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.uint64())}
         )
 
-    return docs.map_batches(fp, batch_format="pyarrow")
+    return docs.map_batches(fp, batch_format="pyarrow", batch_size=None)

@@ -26,7 +26,7 @@ def hourly_event_stats(sf_dir: str) -> ray.data.Dataset:
         return batch.append_column("hour", pa.array(hours, pa.timestamp("us")))
 
     agg = (
-        events.map_batches(add_hour, batch_format="pyarrow")
+        events.map_batches(add_hour, batch_format="pyarrow", batch_size=None)
         .groupby(["hour", "event_type"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value_raw"))
     )
@@ -35,7 +35,7 @@ def hourly_event_stats(sf_dir: str) -> ray.data.Dataset:
         rounded = pc.round(batch["sum_value_raw"], ndigits=2)
         return batch.drop(["sum_value_raw"]).append_column("sum_value", rounded)
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:

@@ -153,6 +153,13 @@ class FrontierShard:
             if "seq" in group.column_names
             else list(range(len(urls)))
         )
+        # host per row: the frontier carries the canonical host as
+        # site_id — avoids a urlsplit per url in the hot loop
+        hosts = (
+            group["site_id"].to_pylist()
+            if "site_id" in group.column_names
+            else [host_of(u) for u in urls]
+        )
 
         status = [""] * len(urls)
         heaps: dict[str, FrontierHeap] = {}
@@ -165,7 +172,7 @@ class FrontierShard:
                 status[i] = "robots_blocked"
                 continue
             status[i] = "scheduled"
-            host = host_of(url)
+            host = hosts[i]
             lm = lastmods[i]
             if isinstance(lm, str):
                 lm = datetime.fromisoformat(lm)

@@ -76,27 +76,24 @@ class TestResume:
         part = tmp_path / "part"
 
         import ftw_crawler_ray.pipelines.crawl as crawl_mod
-        from ftw_crawler_ray.stages import incremental
 
-        orig = incremental.join_index_state
+        orig = crawl_mod.read_frontier
 
-        def half_frontier(sf_dir, broadcast=False, columns=()):
+        def half_frontier(sf_dir, replicate=1):
             import pyarrow as pa
 
-            ds = orig(sf_dir, broadcast=broadcast, columns=columns)
+            ds = orig(sf_dir, replicate)
             return ds.map_batches(
                 lambda t: t.filter(pa.array(t["seq"].to_numpy() % 2 == 0)),
                 batch_format="pyarrow",
             )
 
-        incremental.join_index_state = half_frontier
-        crawl_mod.join_index_state = half_frontier
+        crawl_mod.read_frontier = half_frontier
         try:
             crawl(SF, out_dir=str(part), num_shards=4,
                   checkpoint_dir=str(part / "ckpt"))
         finally:
-            incremental.join_index_state = orig
-            crawl_mod.join_index_state = orig
+            crawl_mod.read_frontier = orig
         half_seen = read_seen_set(str(part / "ckpt"))
         assert half_seen < full_seen  # strictly partial
 
