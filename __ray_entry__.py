@@ -201,6 +201,68 @@ def _q_crawl_docs(sf_dir: str):
     )
 
 
+def _q_quality_scores(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import quality_scores
+
+    return quality_scores(sf_dir)
+
+
+def _q_sessionize(sf_dir: str):
+    from ftw_crawler_ray.stages.window import sessionize
+
+    return sessionize(sf_dir)
+
+
+def _q_ann_topk(sf_dir: str):
+    from ftw_crawler_ray.stages.similarity import ann_topk
+
+    return ann_topk(sf_dir, query_ids=[0, 1, 2, 3, 4], k=10)
+
+
+def _q_near_dups(sf_dir: str):
+    from ftw_crawler_ray.stages.similarity import near_dup_pairs
+
+    return near_dup_pairs(sf_dir, threshold=0.3)
+
+
+def _q_lang_id(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import lang_id
+
+    return lang_id(sf_dir)
+
+
+def _q_fingerprints(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import fingerprints
+
+    return fingerprints(sf_dir)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from ftw_crawler_ray.stages.dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(sf_dir)
+
+
+def _q_simhash(sf_dir: str):
+    from ftw_crawler_ray.stages.dedup import simhash_table
+
+    return simhash_table(sf_dir)
+
+
+def _q_image_features(sf_dir: str):
+    from ftw_crawler_ray.stages.multimodal import image_features
+
+    return image_features(sf_dir)
+
+
+def _q_sampled_frames(sf_dir: str):
+    from ftw_crawler_ray.stages.multimodal import sampled_frames
+
+    return sampled_frames(sf_dir).select_columns(
+        ["media_id", "frame_idx"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "extract_pages": _q_extract_pages,
@@ -215,6 +277,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": _q_crawl_schedule,
         "crawl_seen": _q_crawl_seen,
         "crawl_docs": _q_crawl_docs,
+        "quality_scores": _q_quality_scores,
+        "sessionize": _q_sessionize,
+        "ann_topk": _q_ann_topk,
+        "near_dups": _q_near_dups,
+        # rows-only (non-SQL-expressible: heuristic classifier, sketch
+        # signatures, LSH bucketing, binary payload plumbing)
+        "lang_id": _q_lang_id,
+        "fingerprints": _q_fingerprints,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash": _q_simhash,
+        "image_features": _q_image_features,
+        "sampled_frames": _q_sampled_frames,
     }
 
 
@@ -344,5 +418,69 @@ FROM cand
 WHERE (doc_id % 41) % 10 <> 3
   AND doc_id % 101 <> 0
   AND doc_id % 103 <> 0
+""",
+        "quality_scores": r"""
+WITH toks AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
+           length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))) END AS n_distinct
+    FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (word_chars * 1000) // n_tokens END AS mean_token_len_x1000,
+       CASE WHEN n_tokens = 0 THEN 0
+            ELSE (n_distinct * 1000) // n_tokens END AS distinct_ratio_x1000
+FROM toks
+""",
+        "sessionize": """
+WITH lagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+    FROM lagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+""",
+        # double-cast: DuckDB computes list_cosine_similarity in the
+        # element type; float32 would disagree with the engine's
+        # float64 kernel at the 6dp rounding boundary
+        "ann_topk": """
+WITH q AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+sims AS (
+    SELECT q.qid AS query_id, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+    FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) - 1 AS rank
+    FROM sims
+)
+SELECT query_id, vec_id, rank, sim FROM ranked WHERE rank < 10
+""",
+        "near_dups": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
 """,
     }

@@ -203,7 +203,7 @@ def simhash64(text: str) -> int:
         h = int.from_bytes(
             hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
         )
-        bits = (h >> np.arange(64)) & 1
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = 0
     for i in range(64):

@@ -1,0 +1,202 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata,
+processed by actor-pool map_batches stages.
+
+The Ray-side plumbing (schemas, actor signatures, batch sizing,
+output layout) is real and tested; the codec layer is STUBBED —
+this container ships no PIL/libav, so ``RealImageCodec`` raises
+NotImplementedError and the default is a deterministic fake codec
+over a self-describing FakeImage/FakeVideo byte format. Swapping in
+a real codec is a one-class change (same interface), nothing about
+the pipelines moves.
+
+Memory note (SURVEY.md "wide binary rows"): payload stages run with
+small ``batch_size`` and an explicit actor pool so
+batch × concurrency stays inside a worker's heap; payloads are
+projected away as soon as features are extracted.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_IMG_MAGIC = b"FIMG"
+_VID_MAGIC = b"FVID"
+
+
+# ---------------------------------------------------------------------------
+# deterministic fake payload synthesis (the sandbox "media corpus")
+# ---------------------------------------------------------------------------
+
+
+def fake_image_bytes(seed: int) -> bytes:
+    """Self-describing fake image: FIMG | w | h | pixel bytes."""
+    rng = np.random.default_rng(seed)
+    w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
+    pixels = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+    return _IMG_MAGIC + struct.pack("<HH", w, h) + pixels
+
+
+def fake_video_bytes(seed: int, n_frames: int = 8) -> bytes:
+    """FVID | n_frames | frame_len | frames (fixed-size fake frames)."""
+    rng = np.random.default_rng(seed)
+    frame_len = 256
+    frames = rng.integers(0, 256, size=n_frames * frame_len, dtype=np.uint8)
+    return _VID_MAGIC + struct.pack("<HH", n_frames, frame_len) + frames.tobytes()
+
+
+def media_table(sf_dir: str, modality: str = "image") -> ray.data.Dataset:
+    """documents → media rows: (media_id, payload: binary, modality,
+    metadata columns). Deterministic from doc_id."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        if modality == "image":
+            payloads = [fake_image_bytes(i) for i in ids]
+        else:
+            payloads = [fake_video_bytes(i) for i in ids]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "modality": pa.array([modality] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return docs.map_batches(synth, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# codecs — the pluggable (stubbed) layer
+# ---------------------------------------------------------------------------
+
+
+class FakeImageCodec:
+    """Decodes the FIMG fake format. Interface = the real thing."""
+
+    def decode(self, payload: bytes):
+        if payload[:4] != _IMG_MAGIC:
+            raise ValueError("not a FIMG payload")
+        w, h = struct.unpack("<HH", payload[4:8])
+        pixels = np.frombuffer(payload[8 : 8 + w * h], dtype=np.uint8)
+        return w, h, pixels
+
+    def resize(self, payload: bytes, max_side: int):
+        w, h, pixels = self.decode(payload)
+        scale = max(1, max(w, h) // max_side)
+        new_w, new_h = max(1, w // scale), max(1, h // scale)
+        resized = pixels[: new_w * new_h]  # deterministic fake downsample
+        return _IMG_MAGIC + struct.pack("<HH", new_w, new_h) + resized.tobytes()
+
+
+class RealImageCodec:  # pragma: no cover - stub by design
+    """Placeholder for a PIL/turbojpeg-backed codec — this container
+    has no image libraries (SURVEY-level stub; same interface)."""
+
+    def decode(self, payload: bytes):
+        raise NotImplementedError("image libraries not available in sandbox")
+
+    def resize(self, payload: bytes, max_side: int):
+        raise NotImplementedError("image libraries not available in sandbox")
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode → (width, height, n_pixels,
+    16-bin byte histogram, content digest); payload projected away.
+    Codec built once per actor (__init__), work per batch."""
+
+    def __init__(self, codec=None):
+        self.codec = codec if codec is not None else FakeImageCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, n_pixels, hists, digests = [], [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            w, h, pixels = self.codec.decode(payload)
+            widths.append(w)
+            heights.append(h)
+            n_pixels.append(len(pixels))
+            hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
+            hists.append(hist.astype(np.int64).tolist())
+            digests.append(hashlib.blake2b(payload, digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "n_pixels": pa.array(n_pixels, pa.int64()),
+                "histogram": pa.array(hists, pa.list_(pa.int64())),
+                "digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+class ImageResizer:
+    """Actor-pool stage: payload → resized payload (binary out)."""
+
+    def __init__(self, max_side: int = 16, codec=None):
+        self.max_side = max_side
+        self.codec = codec if codec is not None else FakeImageCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [
+            self.codec.resize(p, self.max_side)
+            for p in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, pa.binary()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool stage for FVID payloads: every k-th frame →
+    exploded (media_id, frame_idx, frame: binary) rows."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idxs, frames = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if payload[:4] != _VID_MAGIC:
+                continue
+            n_frames, frame_len = struct.unpack("<HH", payload[4:8])
+            body = payload[8:]
+            for i in range(0, n_frames, self.every):
+                media_ids.append(mid)
+                frame_idxs.append(i)
+                frames.append(body[i * frame_len : (i + 1) * frame_len])
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, pa.int64()),
+                "frame_idx": pa.array(frame_idxs, pa.int32()),
+                "frame": pa.array(frames, pa.binary()),
+            }
+        )
+
+
+def image_features(sf_dir: str, concurrency=(1, 4),
+                   batch_size: int = 256) -> ray.data.Dataset:
+    """media → ImageFeatures actor pool (small batches: binary rows)."""
+    return media_table(sf_dir, "image").map_batches(
+        ImageFeatures, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def sampled_frames(sf_dir: str, every: int = 2, concurrency=(1, 4),
+                   batch_size: int = 128) -> ray.data.Dataset:
+    return media_table(sf_dir, "video").map_batches(
+        FrameSampler, fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )

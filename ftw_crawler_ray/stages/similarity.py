@@ -1,0 +1,177 @@
+"""Similarity search over the ``embeddings`` table
+(vec_id, embedding: list<float>, label).
+
+- brute-force cosine top-k: numpy matmul per batch against a
+  broadcast query matrix (``ray.put`` once, read per task) — the
+  exact baseline; scales linearly in corpus size, embarrassingly
+  parallel, no shuffle.
+- random-hyperplane LSH bucketing: the scale path — signature →
+  bucket groupby → exact cosine within bucket only.
+- embedding near-dup pairs: all pairs ≥ threshold (batch × broadcast
+  matrix; at 10^9 vectors swap the broadcast side for the LSH
+  buckets).
+
+Determinism: similarities are computed in float64 and rounded to 6
+decimals before ranking, ties broken by vec_id — so results are
+stable across BLAS implementations and match the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def _matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy()
+    emb = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+    return ids, emb
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def load_query_matrix(sf_dir: str, query_ids: list[int]):
+    """Driver-side: the (tiny) query rows, normalized."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    by_id = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+    q = np.array([by_id[i] for i in query_ids], dtype=np.float64)
+    return np.asarray(query_ids, dtype=np.int64), _normalize(q)
+
+
+def ann_topk(sf_dir: str, query_ids: list[int], k: int = 10) -> ray.data.Dataset:
+    """Brute-force cosine top-k: per-batch local top-k against the
+    broadcast queries, then one tiny groupby(query_id) finalizer.
+    Output: (query_id, vec_id, rank, sim) with sim rounded at 6dp."""
+    qids, qmat = load_query_matrix(sf_dir, query_ids)
+    q_ref = ray.put((qids, qmat))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qmat_ = ray.get(q_ref)
+        ids, emb = _matrix(batch)
+        sims = np.round(_normalize(emb) @ qmat_.T, 6)  # (n, nq)
+        out_q, out_v, out_s = [], [], []
+        kk = min(k, len(ids))
+        for j, qid in enumerate(qids_):
+            col = sims[:, j]
+            # candidates: local top-k by (sim desc, vec_id asc)
+            order = np.lexsort((ids, -col))[:kk]
+            out_q.extend([qid] * len(order))
+            out_v.extend(ids[order])
+            out_s.extend(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        sims = group["sim"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        qid = group["query_id"][0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(len(order)), pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    candidates = _read_embeddings(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    )
+    return candidates.groupby("query_id").map_groups(
+        finalize, batch_format="pyarrow"
+    )
+
+
+def near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
+    """All embedding pairs with cosine ≥ threshold (vec_a < vec_b).
+
+    Batch × broadcast-matrix product: each task compares its block
+    against the full (normalized) corpus matrix — fine up to ~10^6
+    vectors per node; beyond that use ``lsh_buckets`` + within-bucket
+    exact (same output contract)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_ids = t["vec_id"].to_numpy()
+    all_mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    ref = ray.put((all_ids, all_mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_all, mat_all = ray.get(ref)
+        ids, emb = _matrix(batch)
+        sims = np.round(_normalize(emb) @ mat_all.T, 6)
+        rows_a, rows_b, rows_s = [], [], []
+        for i in range(len(ids)):
+            hits = np.where(sims[i] >= threshold)[0]
+            for j in hits:
+                if ids[i] < ids_all[j]:
+                    rows_a.append(ids[i])
+                    rows_b.append(ids_all[j])
+                    rows_s.append(sims[i, j])
+        return pa.table(
+            {
+                "vec_a": pa.array(rows_a, pa.int64()),
+                "vec_b": pa.array(rows_b, pa.int64()),
+                "sim": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    return _read_embeddings(sf_dir).map_batches(
+        pairs, batch_format="pyarrow", batch_size=None
+    )
+
+
+def lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 42) -> ray.data.Dataset:
+    """Random-hyperplane LSH: 16-bit signature per vector → bucket
+    column. The scale path for near-dup / ANN: groupby(bucket) then
+    exact cosine within each bucket (candidates only). Deterministic
+    (seeded planes, built once per actor)."""
+
+    class Signer:
+        def __init__(self):
+            rng = np.random.default_rng(seed)
+            self.planes = None
+            self.rng = rng
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, emb = _matrix(batch)
+            if self.planes is None:
+                self.planes = np.random.default_rng(seed).standard_normal(
+                    (emb.shape[1], n_planes)
+                )
+            bits = (emb @ self.planes) > 0
+            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "bucket": pa.array(sig.astype(np.int64), pa.int64()),
+                }
+            )
+
+    return _read_embeddings(sf_dir).map_batches(
+        Signer, batch_format="pyarrow", batch_size=None, concurrency=2
+    )

@@ -1,0 +1,160 @@
+"""Tests for sinks, similarity search, multimodal plumbing, dedup
+kernels and text stats."""
+
+import json
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ftw_crawler_ray.sinks import (
+    ExtendedJSONEncoder,
+    SolrConnector,
+    batch_to_solr_docs,
+    solr_escape,
+)
+from ftw_crawler_ray.stages.dedup import (
+    hamming64,
+    jaccard,
+    minhash_signature,
+    shingles,
+    simhash64,
+    _perm_params,
+)
+from ftw_crawler_ray.stages.multimodal import (
+    FakeImageCodec,
+    FrameSampler,
+    ImageFeatures,
+    ImageResizer,
+    RealImageCodec,
+    fake_image_bytes,
+    fake_video_bytes,
+)
+
+
+class TestSolrSink:
+    def test_escape(self):
+        # reference solr.py:16-24 / test_solr.py:129-136
+        assert solr_escape("a+b") == "a\\+b"
+        assert solr_escape('x:"y"') == 'x\\:\\"y\\"'
+
+    def test_json_datetime_encoding(self):
+        # reference utils.py:88-95 / test_utils.py:119-131
+        payload = json.dumps(
+            {"modified": datetime(2014, 12, 31, 15, 45, 30)},
+            cls=ExtendedJSONEncoder,
+        )
+        assert payload == '{"modified": "2014-12-31T15:45:30.000000Z"}'
+
+    def test_null_fields_dropped(self):
+        # key-omission semantics, reference extractors.py:137-140
+        batch = pa.table(
+            {"UID": ["u1"], "Description": pa.array([None], pa.string()),
+             "Title": ["T"], "shard": pa.array([1], pa.int32())}
+        )
+        docs = batch_to_solr_docs(batch)
+        assert docs == [{"UID": "u1", "Title": "T"}]
+
+    def test_connector_requests(self):
+        # reference test_solr.py:49-89 request shapes
+        sent = []
+        conn = SolrConnector(
+            "http://localhost:8983/solr",
+            transport=lambda m, u, p: sent.append((m, u, p)),
+        )
+        conn.index({"UID": "u1"})
+        conn.delete("u1")
+        assert sent[0][1] == "http://localhost:8983/solr/update?commit=true"
+        assert json.loads(sent[0][2]) == [{"UID": "u1"}]
+        assert json.loads(sent[1][2]) == {"delete": {"id": "u1"}}
+        assert (
+            conn.search_url("path_parent:foo", fl=["UID", "Title"])
+            == "http://localhost:8983/solr/select?q=path_parent:foo&wt=json&fl=UID,Title"
+        )
+
+
+class TestDedupKernels:
+    def test_shingles_deterministic(self):
+        a = shingles("the quick brown fox jumps over the lazy dog", 3)
+        b = shingles("the quick brown fox jumps over the lazy dog", 3)
+        assert (a == b).all()
+
+    def test_minhash_similarity_correlates_with_jaccard(self):
+        a_params = _perm_params(128)
+        t1 = "the quick brown fox jumps over the lazy dog " * 5
+        t2 = "the quick brown fox leaps over the lazy dog " * 5
+        t3 = "completely different text about databases and queries " * 5
+        s1 = minhash_signature(shingles(t1, 3), *a_params)
+        s2 = minhash_signature(shingles(t2, 3), *a_params)
+        s3 = minhash_signature(shingles(t3, 3), *a_params)
+        sim12 = (s1 == s2).mean()
+        sim13 = (s1 == s3).mean()
+        assert sim12 > sim13
+        assert abs(sim12 - jaccard(t1, t2, 3)) < 0.2
+
+    def test_simhash_near_vs_far(self):
+        h1 = simhash64("the quick brown fox jumps over the lazy dog")
+        h2 = simhash64("the quick brown fox jumps over the lazy cat")
+        h3 = simhash64("select sum from table group by key order limit")
+        assert hamming64(h1, h2) < hamming64(h1, h3)
+        assert hamming64(h1, h1) == 0
+
+
+class TestMultimodal:
+    def test_fake_image_roundtrip(self):
+        payload = fake_image_bytes(7)
+        w, h, pixels = FakeImageCodec().decode(payload)
+        assert len(pixels) == w * h
+
+    def test_real_codec_is_stubbed(self):
+        with pytest.raises(NotImplementedError):
+            RealImageCodec().decode(b"anything")
+
+    def test_image_features_batch(self):
+        batch = pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "modality": ["image", "image"],
+                "payload": pa.array(
+                    [fake_image_bytes(1), fake_image_bytes(2)], pa.binary()
+                ),
+            }
+        )
+        out = ImageFeatures()(batch)
+        rows = out.to_pylist()
+        assert rows[0]["n_pixels"] == rows[0]["width"] * rows[0]["height"]
+        assert sum(rows[0]["histogram"]) == rows[0]["n_pixels"]
+        assert "payload" not in out.column_names  # projected away
+
+    def test_resizer_shrinks(self):
+        batch = pa.table(
+            {
+                "media_id": pa.array([1], pa.int64()),
+                "payload": pa.array([fake_image_bytes(1)], pa.binary()),
+            }
+        )
+        out = ImageResizer(max_side=8)(batch)
+        w, h, _ = FakeImageCodec().decode(out["payload"][0].as_py())
+        assert max(w, h) <= 16  # halved at least once for 16-64px inputs
+
+    def test_frame_sampler(self):
+        batch = pa.table(
+            {
+                "media_id": pa.array([5], pa.int64()),
+                "payload": pa.array([fake_video_bytes(5, n_frames=8)], pa.binary()),
+            }
+        )
+        out = FrameSampler(every=2)(batch)
+        assert out["frame_idx"].to_pylist() == [0, 2, 4, 6]
+        assert all(len(f) == 256 for f in out["frame"].to_pylist())
+
+
+class TestSimilarityKernels:
+    def test_normalize_and_topk_order(self):
+        from ftw_crawler_ray.stages.similarity import _normalize
+
+        m = np.array([[3.0, 4.0], [0.0, 0.0]])
+        n = _normalize(m)
+        assert np.allclose(np.linalg.norm(n[0]), 1.0)
+        assert (n[1] == 0).all()  # zero vector stays zero, no NaN
