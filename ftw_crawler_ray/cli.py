@@ -1,0 +1,117 @@
+"""CLI — the ``bin/crawl config.py [url]`` analog (reference
+setup.py:55-58; ftw/crawler/__init__.py:9-27).
+
+    python -m ftw_crawler_ray crawl  --sf-dir DIR --out DIR
+        [--url URL] [--num-shards N] [--checkpoint-dir DIR]
+        [--seen-mode exact|cuckoo] [--no-purge] [--num-cpus N]
+    python -m ftw_crawler_ray extract --sf-dir DIR --out DIR
+    python -m ftw_crawler_ray lineage --checkpoint-dir DIR
+
+A user config file (``--config path/to/config.py`` exposing
+``CONFIG = Config(...)``, reference configuration.py:7-28) overrides
+the built-in corpus config for the extract fields/sites.
+
+This entry point owns its Ray session (guarded init + shutdown);
+library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="ftw-crawler-ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_crawl = sub.add_parser("crawl", help="full crawl lifecycle")
+    p_crawl.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_crawl.add_argument("--out", required=True)
+    p_crawl.add_argument("--url", default=None,
+                         help="single-URL mode (reference main.py:117-119)")
+    p_crawl.add_argument("--config", default=None,
+                         help="python config file exposing CONFIG")
+    p_crawl.add_argument("--num-shards", type=int, default=8)
+    p_crawl.add_argument("--checkpoint-dir", default=None)
+    p_crawl.add_argument("--seen-mode", choices=("exact", "cuckoo"),
+                         default="exact")
+    p_crawl.add_argument("--no-purge", action="store_true")
+    p_crawl.add_argument("--num-cpus", type=int, default=8)
+
+    p_extract = sub.add_parser("extract", help="extraction-only pipeline")
+    p_extract.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p_extract.add_argument("--out", required=True)
+    p_extract.add_argument("--config", default=None)
+    p_extract.add_argument("--num-cpus", type=int, default=8)
+
+    p_lineage = sub.add_parser("lineage", help="print shard metrics")
+    p_lineage.add_argument("--checkpoint-dir", required=True)
+
+    args = parser.parse_args(argv)
+
+    if args.command == "lineage":
+        import glob
+
+        import pyarrow.parquet as pq
+
+        for path in sorted(glob.glob(f"{args.checkpoint_dir}/shard-*.parquet")):
+            row = pq.read_table(
+                path, columns=["shard_id", "seen_mode", "high_seq", "n_seen",
+                               "n_scheduled"]
+            ).to_pylist()[0]
+            print(json.dumps(row))
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        config = None
+        if args.config:
+            from .config import load_config
+
+            config = load_config(args.config)
+
+        if args.command == "crawl":
+            from .pipelines.crawl import crawl
+
+            summary = crawl(
+                args.sf_dir,
+                out_dir=args.out,
+                num_shards=args.num_shards,
+                checkpoint_dir=args.checkpoint_dir,
+                seen_mode=args.seen_mode,
+                single_url=args.url,
+                purge=not args.no_purge,
+            )
+            print(json.dumps(summary))
+        elif args.command == "extract":
+            from .pipelines.extract import extract_pipeline
+
+            ds = extract_pipeline(args.sf_dir, config=config)
+            ds.write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,7 @@ fetcher.py:60-66).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -378,6 +379,8 @@ def crawl(
     num_shards: int = 8,
     checkpoint_dir: str | None = None,
     seen_mode: str = "exact",
+    single_url: str | None = None,
+    purge: bool = True,
 ) -> dict:
     """Full pipeline; returns the lineage/metrics summary.
 
@@ -388,6 +391,16 @@ def crawl(
     2. plan → fetch actor pool → extract/quarantine →
        ``{out_dir}/docs`` Parquet partitioned by shard (resumable
        layout: one directory per shard).
+    Plus the always-on sub-pipelines of the reference lifecycle:
+    - purge anti-join → ``{out_dir}/purged`` tombstones (reference
+      purging.py:8-30; still runs in single-url mode, main.py:102)
+    - index-state update → ``{out_dir}/index_state`` (url, uid,
+      last_modified of newly indexed docs — the Solr-state stand-in)
+    - per-shard metrics → ``{out_dir}/lineage`` (from checkpoints)
+
+    ``single_url`` replicates ``bin/crawl config.py <url>``
+    (reference main.py:76-77,117-119): everything but that url is
+    filtered out before scheduling; purge is skipped.
     Status counts come from the written Parquet (metadata-cheap), not
     from re-executing operators.
     """
@@ -396,10 +409,19 @@ def crawl(
     plan_dir = f"{out_dir}/plan"
     docs_dir = f"{out_dir}/docs"
 
-    scheduled_frontier(
+    sched = scheduled_frontier(
         sf_dir, num_shards=num_shards, checkpoint_dir=checkpoint_dir,
         seen_mode=seen_mode,
-    ).write_parquet(plan_dir)
+    )
+    if single_url is not None:
+        # reference main.py:117-119: every non-matching url_info is
+        # skipped — but the purge sub-pipeline still runs (main.py:102)
+        target = single_url
+        sched = sched.map_batches(
+            lambda t: t.filter(pc.equal(t["url"], target)),
+            batch_format="pyarrow", batch_size=None,
+        )
+    sched.write_parquet(plan_dir)
 
     plan_ds = pads.dataset(plan_dir)
     plan_counts: dict[str, int] = {}
@@ -423,15 +445,62 @@ def crawl(
             "fetch_status"
         ].value_counts():
             fetch_counts[b["values"].as_py()] = b["counts"].as_py()
+        # index-state update: what a Solr index would now contain for
+        # the docs just indexed (reference: Solr is the state store)
+        new_state = pads.dataset(docs_dir, partitioning="hive").to_table(
+            columns=["url", "UID", "modified", "fetch_status"]
+        )
+        new_state = new_state.filter(
+            pc.equal(new_state["fetch_status"], "fetched")
+        ).drop(["fetch_status"])
+        pq_dir = f"{out_dir}/index_state"
+        os.makedirs(pq_dir, exist_ok=True)
+        import pyarrow.parquet as pqm
+
+        pqm.write_table(
+            new_state.rename_columns(["url", "uid", "last_modified"]),
+            f"{pq_dir}/updated.parquet",
+        )
+
+    n_purged = 0
+    if purge:
+        from ..stages.purge import purge_candidates
+
+        purge_candidates(sf_dir).write_parquet(f"{out_dir}/purged")
+        n_purged = pads.dataset(f"{out_dir}/purged").count_rows()
+
+    if checkpoint_dir:
+        write_lineage(checkpoint_dir, f"{out_dir}/lineage")
 
     return {
         "plan_counts": plan_counts,
         "fetch_counts": fetch_counts,
         "n_extracted": fetch_counts.get("fetched", 0),
+        "n_purged": n_purged,
         "out_dir": out_dir,
         "checkpoint_dir": checkpoint_dir,
         "num_shards": num_shards,
     }
+
+
+def write_lineage(checkpoint_dir: str, lineage_dir: str) -> None:
+    """Per-shard metrics from the checkpoints → one small Parquet
+    (north_rule: per-partition lineage + metrics)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pqm
+
+    rows = {"shard_id": [], "seen_mode": [], "high_seq": [], "n_seen": [],
+            "n_scheduled": []}
+    for path in sorted(_glob.glob(os.path.join(checkpoint_dir, "shard-*.parquet"))):
+        row = pqm.read_table(
+            path, columns=["shard_id", "seen_mode", "high_seq", "n_seen",
+                           "n_scheduled"]
+        ).to_pylist()[0]
+        for k in rows:
+            rows[k].append(row[k])
+    os.makedirs(lineage_dir, exist_ok=True)
+    pqm.write_table(pa.table(rows), os.path.join(lineage_dir, "shards.parquet"))
 
 
 def crawl_output(sf_dir: str, num_shards: int = 8,
