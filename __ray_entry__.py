@@ -201,6 +201,28 @@ def _q_crawl_docs(sf_dir: str):
     )
 
 
+def _q_crawl_politeness(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ftw_crawler_ray.pipelines.crawl import scheduled_frontier
+
+    sched = scheduled_frontier(sf_dir, num_shards=8)
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["status"], "scheduled"))
+        return pa.table(
+            {
+                "url": t["url"],
+                "site_id": t["site_id"],
+                "fetch_order": t["fetch_order"],
+                "planned_offset": pc.round(t["planned_offset"], ndigits=6),
+            }
+        )
+
+    return sched.map_batches(project, batch_format="pyarrow", batch_size=None)
+
+
 def _q_quality_scores(sf_dir: str):
     from ftw_crawler_ray.stages.textstats import quality_scores
 
@@ -277,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": _q_crawl_schedule,
         "crawl_seen": _q_crawl_seen,
         "crawl_docs": _q_crawl_docs,
+        "crawl_politeness": _q_crawl_politeness,
         "quality_scores": _q_quality_scores,
         "sessionize": _q_sessionize,
         "ann_topk": _q_ann_topk,
@@ -418,6 +441,46 @@ FROM cand
 WHERE (doc_id % 41) % 10 <> 3
   AND doc_id % 101 <> 0
   AND doc_id % 103 <> 0
+""",
+        # politeness budget parity: virtual-clock token bucket with
+        # the reference's 429 rule (sleep at current sleeptime per
+        # 429, double after — fetcher.py:60-66). Derivation: with
+        # k_j = #429-fetches before j on the host and s_j = 0.1*2^k_j,
+        # each fetch j advances the host clock by s_j*(1 + 2*[429_j])
+        # and a 429-fetch starts s_j late: t_i = Σ_{j<i} s_j*(1+2*[429_j])
+        # + s_i*[429_i]
+        "crawl_politeness": f"""
+WITH {SQL_RESOURCES}, {SQL_INDEX_STATE},
+cand AS (
+    SELECT r.* FROM resources r LEFT JOIN index_state i ON r.url = i.url
+    WHERE i.last_modified IS NULL OR r.lastmod IS NULL
+       OR CAST(r.lastmod AS TIMESTAMP) > i.last_modified
+),
+sched AS (
+    SELECT url, site_id, doc_id,
+           CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS is429,
+           row_number() OVER (
+               PARTITION BY site_id
+               ORDER BY CAST(priority AS DOUBLE) DESC,
+                        (lastmod IS NULL) ASC,
+                        CAST(lastmod AS TIMESTAMP) DESC,
+                        seq ASC
+           ) - 1 AS fetch_order
+    FROM cand WHERE (doc_id % 41) % 10 <> 3
+),
+stepped AS (
+    SELECT *,
+           0.1 * power(2, coalesce(sum(is429) OVER (
+               PARTITION BY site_id ORDER BY fetch_order
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS s_j
+    FROM sched
+)
+SELECT url, site_id, fetch_order,
+       round(coalesce(sum(s_j * (1 + 2 * is429)) OVER (
+                 PARTITION BY site_id ORDER BY fetch_order
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + s_j * is429, 6) AS planned_offset
+FROM stepped
 """,
         "quality_scores": r"""
 WITH toks AS (
