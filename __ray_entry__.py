@@ -201,6 +201,42 @@ def _q_crawl_docs(sf_dir: str):
     )
 
 
+def _q_sitemap_frontier(sf_dir: str):
+    """Exercises the real sitemap XML writer→parser path (S1-S4):
+    documents → urlset XML per batch → Sitemap parse → url_info rows."""
+    import pyarrow as pa
+
+    from ftw_crawler_ray.config import Site
+    from ftw_crawler_ray.sources.pages import read_frontier
+    from ftw_crawler_ray.sources.sitemap import Sitemap, synthesize_sitemap_xml
+
+    site = Site("http://example.org/")
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        xml = synthesize_sitemap_xml(
+            batch["url"].to_pylist(), batch["lastmod"].to_pylist()
+        )
+        infos = Sitemap(site, xml).url_infos
+        return pa.table(
+            {
+                "url": pa.array([i["loc"] for i in infos], pa.string()),
+                "lastmod": pa.array(
+                    [i.get("lastmod") for i in infos], pa.string()
+                ),
+            }
+        )
+
+    return read_frontier(sf_dir).map_batches(
+        roundtrip, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from ftw_crawler_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(sf_dir, threshold=0.5)
+
+
 def _q_crawl_politeness(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -299,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_schedule": _q_crawl_schedule,
         "crawl_seen": _q_crawl_seen,
         "crawl_docs": _q_crawl_docs,
+        "sitemap_frontier": _q_sitemap_frontier,
         "crawl_politeness": _q_crawl_politeness,
         "quality_scores": _q_quality_scores,
         "sessionize": _q_sessionize,
@@ -306,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dups": _q_near_dups,
         # rows-only (non-SQL-expressible: heuristic classifier, sketch
         # signatures, LSH bucketing, binary payload plumbing)
+        "minhash_dedup": _q_minhash_dedup,
         "lang_id": _q_lang_id,
         "fingerprints": _q_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
@@ -441,6 +479,10 @@ FROM cand
 WHERE (doc_id % 41) % 10 <> 3
   AND doc_id % 101 <> 0
   AND doc_id % 103 <> 0
+""",
+        "sitemap_frontier": f"""
+WITH {SQL_RESOURCES}
+SELECT url, lastmod FROM resources
 """,
         # politeness budget parity: virtual-clock token bucket with
         # the reference's 429 rule (sleep at current sleeptime per

@@ -226,6 +226,22 @@ def frontier_rows_for_site(site, fetch, site_seq: int = 0) -> pa.Table:
     )
 
 
+def synthesize_sitemap_xml(urls: list[str], lastmods: list) -> bytes:
+    """Valid sitemaps.org-0.9 urlset XML for a url list (used by the
+    sandbox to exercise the real XML writer→parser round-trip)."""
+    parts = [
+        b'<?xml version="1.0" encoding="UTF-8"?>\n'
+        b'<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+    ]
+    for url, lm in zip(urls, lastmods):
+        parts.append(b"<url><loc>" + url.encode() + b"</loc>")
+        if lm is not None:
+            parts.append(b"<lastmod>" + lm.encode() + b"</lastmod>")
+        parts.append(b"</url>")
+    parts.append(b"</urlset>")
+    return b"".join(parts)
+
+
 def frontier_from_sites(sites, fetch, concurrency: int = 8):
     """Seed-expansion stage: Dataset of sites → frontier Dataset via
     per-site sitemap discovery (network-bound tasks; one task per

@@ -191,6 +191,67 @@ def minhash_candidate_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
 
 
+def minhash_dedup(sf_dir: str, threshold: float = 0.8,
+                  n_perm: int = _N_PERM_DEFAULT, n_bands: int = 16,
+                  k: int = 5) -> ray.data.Dataset:
+    """Complete near-dup pipeline: LSH candidates → exact-Jaccard
+    verify (texts broadcast once via ray.put — at 10^10 docs swap for
+    a candidate⋈texts hash join) → connected components → (doc_id,
+    cluster_id=min doc of component). Components come from
+    driver-side union-find over the *verified pair list*, which is
+    output-sized (≪ corpus); the groupby-based min-label-propagation
+    variant slots in when pairs no longer fit one node.
+    """
+    import pyarrow.parquet as pq
+
+    texts_tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    texts_ref = ray.put(
+        dict(zip(texts_tbl["doc_id"].to_pylist(), texts_tbl["text"].to_pylist()))
+    )
+    candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        keep_a, keep_b, sims = [], [], []
+        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            j = jaccard(texts[a], texts[b], k)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+                sims.append(round(j, 6))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    verified = candidates.map_batches(
+        verify, batch_format="pyarrow", batch_size=None
+    )
+    pairs = verified.select_columns(["doc_a", "doc_b"]).take_all()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        ra, rb = find(p["doc_a"]), find(p["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = sorted((doc, find(doc)) for doc in parent)
+    return ray.data.from_items(
+        [{"doc_id": d, "cluster_id": c} for d, c in rows]
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash
 # ---------------------------------------------------------------------------

@@ -1,0 +1,143 @@
+"""Engine extras: HtmlConverter (text/metadata from raw HTML),
+third-party plugin extractors (row-path fallback), quarantine mode."""
+
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import pytest
+
+from ftw_crawler_ray.config import Config, Field, Site
+from ftw_crawler_ray.engine import ExtractionEngine, HtmlConverter
+from ftw_crawler_ray.exceptions import NoValueExtracted
+from ftw_crawler_ray.extractors import (
+    DescriptionExtractor,
+    MetadataExtractor,
+    PlainTextExtractor,
+    TitleExtractor,
+    UIDExtractor,
+)
+
+UTC = timezone.utc
+
+HTML = b"""<html><head>
+<title>Head Title</title>
+<meta name="description" content="A test page"/>
+<meta name="author" content="A. Writer"/>
+</head><body><div id="content"><h1>Body H1</h1><p>Some  body\ttext</p></div>
+</body></html>"""
+
+
+def _config(extra_fields=()):
+    return Config(
+        sites=[Site("http://e.org/")],
+        unique_field="UID",
+        url_field="path_string",
+        last_modified_field="modified",
+        fields=[
+            Field("UID", extractor=UIDExtractor(), required=True),
+            Field("Title", extractor=TitleExtractor()),
+            Field("SearchableText", extractor=PlainTextExtractor()),
+            Field("Description", extractor=DescriptionExtractor()),
+            *extra_fields,
+        ],
+    )
+
+
+class TestHtmlConverter:
+    def test_text_and_metadata_from_html(self):
+        # S7/S8 stand-in: no `text` column — converter derives text
+        # from the body, metadata from <meta>/<title>
+        engine = ExtractionEngine(
+            _config(), converter=HtmlConverter(),
+            crawl_ts=datetime(2021, 1, 1, tzinfo=UTC),
+        )
+        assert not engine._vectorized  # custom converter → row path
+        batch = pa.table(
+            {
+                "url": ["http://e.org/x"],
+                "html": [HTML],
+                "content_type": ["text/html"],
+            }
+        )
+        row = engine(batch).to_pylist()[0]
+        assert row["Title"] == "Body H1"  # xpath beats metadata title
+        assert row["Description"] == "A test page"
+        assert "Some body text" in row["SearchableText"]
+
+    def test_metadata_author_canonicalized_to_creator(self):
+        conv = HtmlConverter()
+        from ftw_crawler_ray.resource import ResourceInfo
+
+        ri = ResourceInfo(body=HTML)
+        md = conv.extract_metadata(ri)
+        from ftw_crawler_ray.functions.metadata import canonicalize_metadata
+
+        assert canonicalize_metadata(md)["creator"] == "A. Writer"
+
+
+class TestPluginExtractor:
+    def test_third_party_extractor_runs_via_row_path(self):
+        # reference extension surface (extractors.py:24-76;
+        # test_extractors.py:48-79 pattern): subclass + type tag
+        class WordCountExtractor(MetadataExtractor):
+            def extract_value(self, resource_info):
+                if not resource_info.text:
+                    raise NoValueExtracted
+                return str(len(resource_info.text.split()))
+
+        engine = ExtractionEngine(
+            _config(extra_fields=(Field("wordCount",
+                                        extractor=WordCountExtractor()),)),
+            crawl_ts=datetime(2021, 1, 1, tzinfo=UTC),
+        )
+        assert not engine._vectorized  # plugin lacks extract_batch
+        batch = pa.table(
+            {
+                "url": ["http://e.org/x"],
+                "text": ["one two three"],
+                "content_type": ["text/html"],
+            }
+        )
+        row = engine(batch).to_pylist()[0]
+        assert row["wordCount"] == "3"
+
+    def test_untagged_extractor_rejected(self):
+        class Rogue:
+            def bind(self, f):
+                pass
+
+        from ftw_crawler_ray.exceptions import ExtractionError
+
+        with pytest.raises(ExtractionError):
+            ExtractionEngine(
+                _config(extra_fields=(Field("bad", extractor=Rogue()),))
+            )
+
+
+class TestQuarantine:
+    def test_strict_false_captures_row_errors(self):
+        # per-row error capture → _error column, batch survives
+        # (SURVEY.md §4.1 error isolation; replaces SlackLogger S13)
+        class Exploding(MetadataExtractor):
+            def extract_value(self, resource_info):
+                if resource_info.url_info.get("loc", "").endswith("bad"):
+                    raise RuntimeError("boom")
+                return "ok"
+
+        engine = ExtractionEngine(
+            _config(extra_fields=(Field("maybe", extractor=Exploding()),)),
+            crawl_ts=datetime(2021, 1, 1, tzinfo=UTC),
+            keep_input_columns=("url",),
+            strict=False,
+        )
+        batch = pa.table(
+            {
+                "url": ["http://e.org/good", "http://e.org/bad"],
+                "text": ["t", "t"],
+                "content_type": ["text/html", "text/html"],
+            }
+        )
+        out = engine(batch).to_pylist()
+        assert out[0]["_error"] is None and out[0]["maybe"] == "ok"
+        assert out[1]["_error"] is not None and "boom" in out[1]["_error"]
+        assert out[1]["UID"] is None
