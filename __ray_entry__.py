@@ -157,6 +157,12 @@ def _q_token_count(sf_dir: str):
     return token_counts(sf_dir)
 
 
+def _q_token_count_bpe(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import token_counts_bpe
+
+    return token_counts_bpe(sf_dir)
+
+
 def _q_window_events(sf_dir: str):
     from ftw_crawler_ray.stages.window import hourly_event_stats
 
@@ -331,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats": _q_host_stats,
         "dedup_exact": _q_dedup_exact,
         "token_count": _q_token_count,
+        "token_count_bpe": _q_token_count_bpe,
         "window_events": _q_window_events,
         "crawl_schedule": _q_crawl_schedule,
         "crawl_seen": _q_crawl_seen,
@@ -425,6 +432,12 @@ SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
             ELSE len(regexp_split_to_array(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END
            AS n_tokens
+FROM documents
+""",
+        "token_count_bpe": r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+'))
+           AS n_bpe_tokens
 FROM documents
 """,
         "window_events": """

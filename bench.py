@@ -45,6 +45,12 @@ def _run_bench() -> dict:
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # task-based sort shuffle: no per-execution aggregator-actor spawn
+    # (measured ~1.4-2x faster and far less variance than hash shuffle
+    # for the schedule groupby at this scale)
+    from ray.data.context import ShuffleStrategy
+
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
 
     from ftw_crawler_ray.pipelines.crawl import fetch_pool, scheduled_frontier
     from ftw_crawler_ray.pipelines.extract import (

@@ -38,6 +38,28 @@ def token_counts(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(count, batch_format="pyarrow", batch_size=None)
 
 
+# BPE-ish pretokenizer: letter runs | single digits | punctuation runs
+# (GPT-2-style shape, restricted to a regex dialect identical in
+# Python re and DuckDB RE2 so the oracle can reproduce counts)
+_BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+")
+
+
+def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Subword-style token counting (compiled regex per process;
+    the pattern is module-level so actor/task setup is free)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = [len(_BPE_ISH.findall(t)) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_bpe_tokens": pa.array(n, pa.int64())}
+        )
+
+    return docs.map_batches(count, batch_format="pyarrow", batch_size=None)
+
+
 def quality_scores(sf_dir: str) -> ray.data.Dataset:
     """Quality-signal integers per doc: char/token counts, mean token
     length (×1000, integer — exact cross-engine comparison), distinct

@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the hot kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ftw_crawler_ray.functions.markup import (
+    find_nodes,
+    first_node_text,
+    parse_html,
+    text_content,
+)
+from ftw_crawler_ray.functions.textutils import lstrip_charset, normalize_whitespace
+from ftw_crawler_ray.functions.urlnorm import slugify, uid_for_url
+from ftw_crawler_ray.state.filters import BloomFilter, CuckooFilter
+
+text_st = st.text(max_size=200)
+
+
+class TestNormalizeWhitespaceProps:
+    @given(text_st)
+    def test_idempotent(self, s):
+        once = normalize_whitespace(s)
+        assert normalize_whitespace(once) == once
+
+    @given(text_st)
+    def test_no_runs_no_edges(self, s):
+        out = normalize_whitespace(s)
+        assert "  " not in out
+        assert out == out.strip()
+
+    @given(text_st)
+    def test_matches_reference_formula(self, s):
+        assert normalize_whitespace(s) == " ".join(s.split())
+
+
+class TestLstripCharsetProps:
+    @given(text_st, st.text(min_size=1, max_size=20))
+    def test_is_python_lstrip_when_prefix_matches(self, s, prefix):
+        out = lstrip_charset(s, prefix)
+        if s.startswith(prefix):
+            assert out == s.lstrip(prefix)
+        else:
+            assert out == s
+
+    @given(text_st, st.text(min_size=1, max_size=20))
+    def test_result_is_suffix(self, s, prefix):
+        assert s.endswith(lstrip_charset(s, prefix))
+
+
+class TestUrlKernelProps:
+    @given(st.text(min_size=1, max_size=100))
+    def test_uid_shape_and_determinism(self, url):
+        uid = uid_for_url(url)
+        assert uid == uid_for_url(url)
+        parts = uid.split("-")
+        assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+
+    @given(st.text(max_size=100))
+    def test_slug_charset(self, s):
+        slug = slugify(s)
+        assert all(c.islower() or c.isdigit() or c == "-" for c in slug)
+        assert not slug.startswith("-") and not slug.endswith("-")
+
+
+# well-formed html fragment strategy
+_tag = st.sampled_from(["div", "p", "h1", "span", "b"])
+
+
+@st.composite
+def html_fragment(draw, depth=0):
+    n = draw(st.integers(1, 3))
+    parts = []
+    for _ in range(n):
+        tag = draw(_tag)
+        attr = draw(st.sampled_from(["", " id='content'", " class='x'"]))
+        if depth >= 2 or draw(st.booleans()):
+            body = draw(st.text(alphabet="abc XYZ", max_size=12))
+        else:
+            body = draw(html_fragment(depth=depth + 1))
+        parts.append(f"<{tag}{attr}>{body}</{tag}>")
+    return "".join(parts)
+
+
+class TestScannerEquivalence:
+    @settings(max_examples=60, deadline=None)
+    @given(html_fragment(), st.sampled_from(
+        ["//div[@id='content']/h1", "//p", "//h1", "//span"]))
+    def test_fast_path_equals_full_parse(self, html, xpath):
+        body = html.encode()
+        fast = first_node_text(body, xpath)
+        nodes = find_nodes(parse_html(body), xpath)
+        full = text_content(nodes[0]) if nodes else None
+        assert fast == full
+
+
+class TestFilterProps:
+    @given(st.lists(st.text(min_size=1, max_size=30), min_size=1,
+                    max_size=200, unique=True))
+    @settings(max_examples=30, deadline=None)
+    def test_cuckoo_no_false_negatives(self, keys):
+        f = CuckooFilter(max(1024, len(keys) * 2))
+        for k in keys:
+            f.add(k)
+        assert all(k in f for k in keys)
+        g = CuckooFilter.from_bytes(f.to_bytes())
+        assert all(k in g for k in keys)
+
+    @given(st.lists(st.text(min_size=1, max_size=30), min_size=1,
+                    max_size=200, unique=True))
+    @settings(max_examples=30, deadline=None)
+    def test_bloom_no_false_negatives(self, keys):
+        f = BloomFilter(max(256, len(keys) * 2))
+        for k in keys:
+            f.add(k)
+        assert all(k in f for k in keys)
