@@ -169,6 +169,18 @@ def _q_window_events(sf_dir: str):
     return hourly_event_stats(sf_dir)
 
 
+def _q_sliding_windows(sf_dir: str):
+    from ftw_crawler_ray.stages.window import sliding_window_counts
+
+    return sliding_window_counts(sf_dir)
+
+
+def _q_approx_users(sf_dir: str):
+    from ftw_crawler_ray.stages.sketches import approx_distinct_users_per_type
+
+    return approx_distinct_users_per_type(sf_dir)
+
+
 def _q_crawl_schedule(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -339,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "window_events": _q_window_events,
+        "sliding_windows": _q_sliding_windows,
+        "approx_users": _q_approx_users,
         "crawl_schedule": _q_crawl_schedule,
         "crawl_seen": _q_crawl_seen,
         "crawl_docs": _q_crawl_docs,
@@ -445,6 +459,20 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "sliding_windows": """
+WITH exploded AS (
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+               AS window_start, event_type, value
+    FROM events
+    UNION ALL
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 1800) * 1800) AS TIMESTAMP)
+               - INTERVAL 30 MINUTE, event_type, value
+    FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM exploded GROUP BY 1, 2
 """,
         # crawl plan: per-host rank by (priority DESC, lastmod DESC
         # NULLS LAST, seq) over modified ∧ robots-allowed candidates —

@@ -38,6 +38,53 @@ def hourly_event_stats(sf_dir: str) -> ray.data.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+def sliding_window_counts(sf_dir: str, size_minutes: int = 60,
+                          step_minutes: int = 30) -> ray.data.Dataset:
+    """Sliding event-time windows: each event lands in
+    ``size/step`` overlapping windows; implemented as a vectorized
+    explode (event → window_start keys) + grouped aggregate — the
+    standard windowed-aggregate lowering when the engine has no
+    native window operator."""
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    size = np.timedelta64(size_minutes * 60, "s").astype("timedelta64[us]")
+    step = np.timedelta64(step_minutes * 60, "s").astype("timedelta64[us]")
+    n_windows = size_minutes // step_minutes
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy()
+        # anchor window: floor(ts / step) * step
+        base = (ts.astype("int64") // step.astype("int64")) * step.astype("int64")
+        tables = []
+        for i in range(n_windows):
+            start = (base - i * step.astype("int64")).astype("datetime64[us]")
+            keep = ts < (start + size)
+            tables.append(
+                pa.table(
+                    {
+                        "window_start": pa.array(start[keep], pa.timestamp("us")),
+                        "event_type": batch["event_type"].filter(pa.array(keep)),
+                        "value": batch["value"].filter(pa.array(keep)),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    agg = (
+        events.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start", "event_type"])
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value", alias_name="sum_value_raw"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rounded = pc.round(batch["sum_value_raw"], ndigits=2)
+        return batch.drop(["sum_value_raw"]).append_column("sum_value", rounded)
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     """Session windows per user: sort within user group by ts, break
     at > gap; emits (user_id, session_id, n_events, start, end).

@@ -158,3 +158,26 @@ class TestSimilarityKernels:
         n = _normalize(m)
         assert np.allclose(np.linalg.norm(n[0]), 1.0)
         assert (n[1] == 0).all()  # zero vector stays zero, no NaN
+
+
+class TestSketches:
+    def test_hll_accuracy_and_merge(self):
+        from ftw_crawler_ray.stages.sketches import HyperLogLog
+
+        a, b = HyperLogLog(12), HyperLogLog(12)
+        for i in range(6000):
+            a.add(f"user-{i}")
+        for i in range(4000, 10000):
+            b.add(f"user-{i}")
+        a.merge(b)
+        est = a.estimate()
+        assert abs(est - 10000) / 10000 < 0.05  # ~1.6% stderr at p=12
+
+    def test_hll_roundtrip(self):
+        from ftw_crawler_ray.stages.sketches import HyperLogLog
+
+        h = HyperLogLog(10)
+        for i in range(100):
+            h.add(str(i))
+        h2 = HyperLogLog.from_bytes(h.to_bytes())
+        assert h2.estimate() == h.estimate()
