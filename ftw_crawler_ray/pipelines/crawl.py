@@ -423,10 +423,7 @@ def crawl(
         )
     sched.write_parquet(plan_dir)
 
-    plan_ds = pads.dataset(plan_dir)
-    plan_counts: dict[str, int] = {}
-    for b in plan_ds.to_table(columns=["status"])["status"].value_counts():
-        plan_counts[b["values"].as_py()] = b["counts"].as_py()
+    plan_counts = _status_counts(plan_dir, "status")
 
     fetch_counts: dict[str, int] = {}
     if plan_counts.get("scheduled", 0) > 0:
@@ -440,27 +437,20 @@ def crawl(
         fetched.map_batches(
             ExtractOrQuarantine(engine), batch_format="pyarrow", batch_size=None
         ).write_parquet(docs_dir, partition_cols=["shard"])
-        docs = pads.dataset(docs_dir, partitioning="hive")
-        for b in docs.to_table(columns=["fetch_status"])[
-            "fetch_status"
-        ].value_counts():
-            fetch_counts[b["values"].as_py()] = b["counts"].as_py()
+        fetch_counts = _status_counts(docs_dir, "fetch_status")
         # index-state update: what a Solr index would now contain for
-        # the docs just indexed (reference: Solr is the state store)
-        new_state = pads.dataset(docs_dir, partitioning="hive").to_table(
-            columns=["url", "UID", "modified", "fetch_status"]
+        # the docs just indexed (reference: Solr is the state store).
+        # Streaming Dataset read→project→write — never materialized
+        # on the driver (this table is corpus-sized at scale).
+        state = ray.data.read_parquet(
+            docs_dir, columns=["url", "UID", "modified", "fetch_status"]
         )
-        new_state = new_state.filter(
-            pc.equal(new_state["fetch_status"], "fetched")
-        ).drop(["fetch_status"])
-        pq_dir = f"{out_dir}/index_state"
-        os.makedirs(pq_dir, exist_ok=True)
-        import pyarrow.parquet as pqm
-
-        pqm.write_table(
-            new_state.rename_columns(["url", "uid", "last_modified"]),
-            f"{pq_dir}/updated.parquet",
-        )
+        state.map_batches(
+            lambda t: t.filter(pc.equal(t["fetch_status"], "fetched"))
+            .drop(["fetch_status"])
+            .rename_columns(["url", "uid", "last_modified"]),
+            batch_format="pyarrow", batch_size=None,
+        ).write_parquet(f"{out_dir}/index_state")
 
     n_purged = 0
     if purge:
@@ -481,6 +471,19 @@ def crawl(
         "checkpoint_dir": checkpoint_dir,
         "num_shards": num_shards,
     }
+
+
+def _status_counts(parquet_dir: str, column: str) -> dict[str, int]:
+    """Per-status row counts over a Parquet directory via DuckDB —
+    streams with constant driver memory (never to_table the column)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT {column}, count(*) AS n "
+        f"FROM read_parquet('{parquet_dir}/**/*.parquet', hive_partitioning=true) "
+        f"GROUP BY 1"
+    ).fetchall()
+    return {k: int(v) for k, v in rows}
 
 
 def write_lineage(checkpoint_dir: str, lineage_dir: str) -> None:
