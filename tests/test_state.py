@@ -181,3 +181,48 @@ class TestFrontierShardCheckpoint:
         resumed.load_checkpoint()
         assert resumed.seen_mode == "cuckoo"
         assert "http://a.org/1" in resumed.seen
+
+
+class TestVectorizedScheduleEquivalence:
+    def test_matches_sequential_path(self):
+        """schedule_vectorized is a numpy rendering of schedule —
+        statuses, per-host order, politeness offsets and all state
+        counters must agree (it also documents the closed-form
+        politeness recurrence the SQL oracle uses)."""
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.pipelines.crawl import (
+            SANDBOX_ROBOTS,
+            sandbox_n_429,
+        )
+        from ftw_crawler_ray.sources.pages import frontier_batch
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        fr = frontier_batch(t)
+        group = pa.concat_tables([fr, fr.slice(0, 5)])  # dup rows too
+
+        a = FrontierShard(0, robots_map=SANDBOX_ROBOTS)
+        b = FrontierShard(0, robots_map=SANDBOX_ROBOTS)
+        out_a = a.schedule(group, n_429_for=sandbox_n_429)
+        out_b = b.schedule_vectorized(group, n_429_for=sandbox_n_429)
+        assert out_a["status"].to_pylist() == out_b["status"].to_pylist()
+        assert (
+            out_a["fetch_order"].to_pylist() == out_b["fetch_order"].to_pylist()
+        )
+        import math
+
+        for x, y in zip(
+            out_a["planned_offset"].to_pylist(),
+            out_b["planned_offset"].to_pylist(),
+        ):
+            x_missing = x is None or math.isnan(x)
+            y_missing = y is None or math.isnan(y)
+            assert x_missing == y_missing
+            if not x_missing:
+                assert abs(x - y) < 1e-9
+        assert (a.n_seen, a.n_scheduled, a.high_seq) == (
+            b.n_seen, b.n_scheduled, b.high_seq
+        )
