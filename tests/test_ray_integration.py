@@ -1,0 +1,107 @@
+"""Ray-session integration tests for stages not covered by the
+driver gate: sitemap seed expansion, Solr payload writer, multimodal
+actor pools, similarity pipeline shapes."""
+
+import gzip
+import json
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+class TestSitemapSeedExpansion:
+    def test_frontier_from_sites(self, ray_session):
+        from ftw_crawler_ray.config import Site
+        from ftw_crawler_ray.sources.sitemap import frontier_from_sites
+
+        corpus = {
+            "http://a.org/sitemap.xml": (
+                "text/xml",
+                f'<urlset {NS}><url><loc>http://a.org/1</loc>'
+                f"<priority>1.0</priority></url>"
+                f"<url><loc>http://a.org/2</loc></url></urlset>".encode(),
+            ),
+            "http://b.org/sitemap_index.xml.gz": (
+                "application/x-gzip",
+                gzip.compress(
+                    f'<sitemapindex {NS}><sitemap>'
+                    f"<loc>http://b.org/sm1.xml</loc></sitemap>"
+                    f"</sitemapindex>".encode()
+                ),
+            ),
+            "http://b.org/sm1.xml": (
+                "text/xml",
+                f'<urlset {NS}><url><loc>http://b.org/x</loc>'
+                f"</url></urlset>".encode(),
+            ),
+        }
+
+        def fetch(url):
+            if url in corpus:
+                ct, body = corpus[url]
+                return (200, ct, body)
+            return (404, "text/html", b"nope")
+
+        sites = [Site("http://a.org/"), Site("http://b.org/")]
+        ds = frontier_from_sites(sites, fetch)
+        rows = sorted(ds.take_all(), key=lambda r: r["url"])
+        assert [r["url"] for r in rows] == [
+            "http://a.org/1", "http://a.org/2", "http://b.org/x"
+        ]
+        assert rows[0]["priority"] == "1.0"
+        assert rows[2]["site_seq"] == 1
+
+
+class TestSolrPayloadWriter:
+    def test_write_payloads(self, ray_session, tmp_path):
+        from ftw_crawler_ray.pipelines.extract import extract_pipeline
+        from ftw_crawler_ray.sinks import write_solr_payloads
+
+        ds = extract_pipeline(SF).limit(50)
+        n = write_solr_payloads(ds, str(tmp_path))
+        assert n == 50
+        files = [f for f in os.listdir(tmp_path) if f.endswith(".json")]
+        assert files
+        docs = json.load(open(tmp_path / files[0]))
+        assert "UID" in docs[0]
+        # null optional fields dropped, datetimes ISO-encoded
+        assert all("Description" not in d or d["Description"] is not None
+                   for d in docs)
+        assert docs[0]["modified"].endswith("Z")
+
+
+class TestMultimodalPipelines:
+    def test_image_features_pipeline(self, ray_session):
+        from ftw_crawler_ray.stages.multimodal import image_features
+
+        df = image_features(SF).to_pandas()
+        assert len(df) == 500
+        assert (df["n_pixels"] == df["width"] * df["height"]).all()
+
+    def test_frame_sampling_pipeline(self, ray_session):
+        from ftw_crawler_ray.stages.multimodal import sampled_frames
+
+        df = sampled_frames(SF, every=4).to_pandas()
+        assert set(df["frame_idx"].unique()) == {0, 4}
+
+
+class TestSimilarityPipelines:
+    def test_ann_self_is_rank0(self, ray_session):
+        from ftw_crawler_ray.stages.similarity import ann_topk
+
+        df = ann_topk(SF, query_ids=[3], k=5).to_pandas()
+        assert len(df) == 5
+        top = df[df["rank"] == 0].iloc[0]
+        assert top["vec_id"] == 3  # self-similarity 1.0 wins
+        assert top["sim"] == pytest.approx(1.0)
+
+    def test_lsh_buckets_shape(self, ray_session):
+        from ftw_crawler_ray.stages.similarity import lsh_buckets
+
+        df = lsh_buckets(SF).to_pandas()
+        assert len(df) == 500
+        assert df["bucket"].between(0, 2**16 - 1).all()
