@@ -105,3 +105,86 @@ class TestSimilarityPipelines:
         df = lsh_buckets(SF).to_pandas()
         assert len(df) == 500
         assert df["bucket"].between(0, 2**16 - 1).all()
+
+
+class TestFetchVariants:
+    def test_join_and_pool_agree(self, ray_session):
+        """fetch_stage (hash join, API parity) and fetch_pool (actor
+        pool, production path) must fetch the same url set with the
+        same statuses."""
+        import pandas as pd
+
+        from ftw_crawler_ray.pipelines.crawl import (
+            fetch_pool,
+            fetch_stage,
+            scheduled_frontier,
+        )
+
+        sched = scheduled_frontier(SF, num_shards=4)
+        a = fetch_stage(sched, SF).to_pandas()
+        sched2 = scheduled_frontier(SF, num_shards=4)
+        b = fetch_pool(sched2, SF).to_pandas()
+        a = a.sort_values("url", ignore_index=True)
+        b = b.sort_values("url", ignore_index=True)
+        assert list(a["url"]) == list(b["url"])
+        assert list(a["fetch_status"]) == list(b["fetch_status"])
+        assert list(a["html"]) == list(b["html"])
+
+    def test_missing_url_quarantined(self, ray_session):
+        import pyarrow as pa
+
+        from ftw_crawler_ray.pipelines.crawl import FetchActor
+
+        actor = FetchActor(SF)
+        batch = pa.table(
+            {
+                "url": ["http://h1.example.org/docs/page-1",
+                        "http://nowhere.example.org/docs/page-99999999"],
+                "lastmod": [None, None],
+                "shard": pa.array([0, 0], pa.int32()),
+                "seq": pa.array([1, 2], pa.int64()),
+                "fetch_order": pa.array([0, 1], pa.int64()),
+            }
+        )
+        out = actor(batch)
+        by_url = {r["url"]: r for r in out.to_pylist()}
+        assert by_url["http://h1.example.org/docs/page-1"]["fetch_status"] == "fetched"
+        missing = by_url["http://nowhere.example.org/docs/page-99999999"]
+        assert missing["fetch_status"] == "missing"
+        assert missing["html"] is None
+
+
+class TestCuckooCrawl:
+    def test_crawl_with_cuckoo_seen_mode(self, ray_session, tmp_path):
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        s = crawl(SF, out_dir=str(tmp_path), num_shards=2,
+                  checkpoint_dir=str(tmp_path / "ckpt"), seen_mode="cuckoo")
+        assert s["plan_counts"]["scheduled"] >= 370  # tiny FP rate allowed
+        s2 = crawl(SF, out_dir=str(tmp_path / "again"), num_shards=2,
+                   checkpoint_dir=str(tmp_path / "ckpt"), seen_mode="cuckoo")
+        assert s2["plan_counts"] == {"dup": 416}
+
+
+class TestPurgeToDelete:
+    def test_tombstones_drive_solr_deletes(self, ray_session, tmp_path):
+        """J2 output → SolrConnector.delete per tombstone (reference
+        purging.py:27-29, batched per block here)."""
+        import json as _json
+
+        import pyarrow.dataset as pads
+
+        from ftw_crawler_ray.sinks import SolrConnector
+        from ftw_crawler_ray.stages.purge import purge_candidates
+
+        purge_candidates(SF).write_parquet(str(tmp_path / "purged"))
+        sent = []
+        conn = SolrConnector("http://solr:8983/solr",
+                             transport=lambda m, u, p: sent.append(p))
+        uids = pads.dataset(str(tmp_path / "purged")).to_table(
+            columns=["uid"]
+        )["uid"].to_pylist()
+        for uid in uids:
+            conn.delete(uid)
+        assert len(sent) == 46
+        assert _json.loads(sent[0])["delete"]["id"] == uids[0]
