@@ -1,21 +1,26 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline: the full crawl pipeline (frontier build → J1 join →
-is_modified → shard schedule with URL-seen/robots/politeness →
+Headline: the full crawl pipeline (frontier ∪ index_state →
+one shard shuffle with J1/is_modified/URL-seen/robots/politeness →
 fetch actor pool → 20-field extraction) over the synthetic corpus
-amplified ``GRAFT_REPLICATE``× (default 60 → ~300k pages at sf0.1).
+amplified ``GRAFT_REPLICATE``× (default 150 → ~750k pages at sf0.1).
 Shard count is fixed (32) across parallelism levels — partitioning
 is a data-layout choice, not a cluster-size function.
 
 Env:
-    GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
-    RAY_GRAFT_CPUS    ray.init num_cpus (default 32)
-    GRAFT_REPLICATE   corpus amplification factor (default 20)
+    GRAFT_SF_DIR        input dir (default /root/testdata/sf0.1)
+    RAY_GRAFT_CPUS      ray.init num_cpus (default 32)
+    GRAFT_REPLICATE     corpus amplification factor (default 150)
+    GRAFT_CRAWL_RUNS    headline repetitions, min reported (default 2)
+    GRAFT_QUERIES       comma list to restrict timed queries
+    GRAFT_SCALING_REPS  (lo,hi) pairs in --scaling, min per level (default 2)
 
-``--scaling``: runs the headline twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both
-throughputs + scaling efficiency (BASELINE.json ≥0.8 criterion,
-evidenced via two parallelism levels per the sandbox rule).
+``--scaling``: runs the crawl headline in fresh processes at
+num_cpus=8 and num_cpus=32 on the same input (alternating, min per
+level) and reports both throughputs, the raw scaling efficiency
+(BASELINE.json ≥0.8 criterion, evidenced via two parallelism levels
+per the sandbox rule) and a framework-free compute-calibration
+ceiling measured on the same box.
 """
 
 from __future__ import annotations
@@ -59,7 +64,7 @@ def _run_bench() -> dict:
         extract_pipeline,
     )
     from ftw_crawler_ray.engine import ExtractionEngine
-    from ftw_crawler_ray.stages.dedup import dedup_exact, minhash_candidate_pairs
+    from ftw_crawler_ray.stages.dedup import dedup_exact
     from ftw_crawler_ray.stages.textstats import quality_scores
 
     # untimed warmup: page cache + worker pool + one tiny end-to-end
@@ -162,7 +167,16 @@ def _run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    # alternate levels across reps and take the per-level minimum:
+    # host noise on this box is bursty and asymmetric, so a single
+    # (t_lo, t_hi) pair routinely lands in different noise regimes
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    runs_lo, runs_hi = [], []
+    for _ in range(reps):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     calib = _compute_calibration(lo, hi)
@@ -183,6 +197,8 @@ def _run_scaling() -> dict:
         # distinct nodes in a real N→4N cluster don't share either.
         "compute_calibration_ceiling": calib,
         "efficiency_vs_ceiling": round(eff / calib, 3) if calib else None,
+        "sec_lo_runs": [r["value"] for r in runs_lo],
+        "sec_hi_runs": [r["value"] for r in runs_hi],
         "sf": r_hi.get("sf"),
         "replicate": r_hi.get("replicate"),
     }

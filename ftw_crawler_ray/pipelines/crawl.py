@@ -1,12 +1,16 @@
 """The full crawl pipeline — the Ray-native rendering of the
 reference's crawl_and_index loop (main.py:69-162), SURVEY.md §3.4:
 
-    frontier ──► J1 left join index_state ──► is_modified filter (S6)
-      ──► +host/+shard ──► groupby(shard).map_groups(FrontierShard)
-            [URL-seen dedup ∥ robots ∥ priority order ∥ politeness]
-      ──► fetch (url ⋈ pages hash join; 404/redirect quarantine)
+    frontier ∪ index_state ──► ONE host-hash shard shuffle
+      ──► groupby(shard).map_groups(FrontierShard)
+            [J1 lookup ∥ is_modified (S6) ∥ URL-seen dedup ∥ robots
+             ∥ priority order ∥ politeness ∥ checkpoint]
+      ──► plan Parquet (lineage)
+      ──► FetchActor pool (S5; 404/redirect/missing quarantine)
       ──► ExtractionEngine map_batches (E0, 20 fields)
-      ──► write_parquet partitioned by shard  ∥  lineage metrics
+      ──► write_parquet partitioned by shard
+      ∥    purge anti-join → tombstones  ∥  index-state update
+      ∥    per-shard metrics from checkpoints
 
 Everything streams; the only materialization is the tiny lineage
 summary. Checkpoints make the run resumable: killed mid-crawl, a
@@ -33,10 +37,10 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..engine import ExtractionEngine
-from ..functions.urlnorm import host_hash, host_of
+from ..functions.urlnorm import host_hash
 from ..sources.pages import read_frontier, read_index_state, read_pages
 from ..state.frontier import FrontierShard
-from ..stages.incremental import is_modified_mask, join_index_state
+from ..stages.incremental import is_modified_mask
 from .extract import CRAWL_TS, corpus_config
 
 _JOIN_PARTITIONS = 16

@@ -32,8 +32,6 @@ def _with_lower_url(ds: ray.data.Dataset) -> ray.data.Dataset:
 def purge_candidates(sf_dir: str, site_prefix: re.Pattern = _SITE_PREFIX):
     """index_state ANTI JOIN frontier on lower(url), scoped to urls
     under a configured site prefix → (uid, url) tombstones."""
-    from ..functions.urlnorm import uid_for_url
-
     index_state = _with_lower_url(
         read_index_state(sf_dir).select_columns(["uid", "url"])
     )

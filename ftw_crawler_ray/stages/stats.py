@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from ..sources.pages import read_frontier
 
