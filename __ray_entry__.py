@@ -169,6 +169,18 @@ def _q_window_events(sf_dir: str):
     return hourly_event_stats(sf_dir)
 
 
+def _q_topk_per_source(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import topk_docs_per_source
+
+    return topk_docs_per_source(sf_dir, k=3)
+
+
+def _q_source_mix(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import source_mix
+
+    return source_mix(sf_dir)
+
+
 def _q_sliding_windows(sf_dir: str):
     from ftw_crawler_ray.stages.window import sliding_window_counts
 
@@ -351,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q_token_count,
         "token_count_bpe": _q_token_count_bpe,
         "window_events": _q_window_events,
+        "topk_per_source": _q_topk_per_source,
+        "source_mix": _q_source_mix,
         "sliding_windows": _q_sliding_windows,
         "approx_users": _q_approx_users,
         "crawl_schedule": _q_crawl_schedule,
@@ -459,6 +473,20 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+        "topk_per_source": """
+SELECT doc_id, source, n_chars, rank FROM (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+           ) - 1 AS rank
+    FROM documents
+) WHERE rank < 3
+""",
+        "source_mix": """
+SELECT doc_id, source FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 100
+      < (CAST(substr(source, 4) AS BIGINT) * 7 + 10) % 100
 """,
         "sliding_windows": """
 WITH exploded AS (

@@ -127,6 +127,57 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def topk_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Top-k longest documents per source — grouped top-k via
+    in-group sort (sort-within-map_groups; no global sort)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+
+    def topk(group: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n_chars = group["n_chars"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        order = np.lexsort((ids, -n_chars))[:k]
+        out = group.take(order)
+        return out.append_column(
+            "rank", pa.array(range(len(order)), pa.int64())
+        )
+
+    return docs.groupby("source").map_groups(topk, batch_format="pyarrow")
+
+
+def source_mix(sf_dir: str, weights: dict[str, int] | None = None) -> ray.data.Dataset:
+    """Weighted deterministic source mixing (training-data recipe
+    op): keep a doc iff hash(doc_id) % 100 < weight[source]. The
+    Knuth multiplicative hash makes the sample reproducible across
+    engines/runs — no RNG state, no global pass."""
+    # default recipe: weight(srcN) = (7N + 10) % 100 — derivable in
+    # SQL from the source name, so the mix is oracle-checkable
+    def weight_of(source: str) -> int:
+        if weights is not None:
+            return weights.get(source, 0)
+        return (int(source[3:]) * 7 + 10) % 100
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def mix(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        bucket = (ids * 2654435761) % 4294967296 % 100
+        w = np.array(
+            [weight_of(s) for s in batch["source"].to_pylist()],
+            dtype=np.int64,
+        )
+        return batch.filter(pa.array(bucket < w))
+
+    return docs.map_batches(mix, batch_format="pyarrow", batch_size=None)
+
+
 def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
     """Winnowing-style document fingerprint: min rolling-window hash
     over word 3-grams (one 64-bit fingerprint per doc — cheap
