@@ -102,6 +102,12 @@ _PLAN_INPUT_SCHEMA = pa.schema(
 )
 
 
+# hosts that belong to configured sites (purge scope: a vanished url
+# is purged only when it lives under a site we crawl — reference
+# purging.py:21-24 `url.startswith(site.url)`)
+SANDBOX_SITE_HOSTS = frozenset(f"h{n}.example.org" for n in range(41))
+
+
 def scheduled_frontier(
     sf_dir: str,
     num_shards: int = 8,
@@ -109,16 +115,23 @@ def scheduled_frontier(
     seen_mode: str = "exact",
     robots_map: dict | None = None,
     replicate: int = 1,
+    emit_purge: bool = False,
+    site_hosts: frozenset | None = None,
 ) -> ray.data.Dataset:
     """Frontier ∪ index_state → ONE host-hash shard shuffle →
-    per-shard (J1 lookup + is_modified + dedup/robots/order/politeness).
+    per-shard (J1 lookup + is_modified + dedup/robots/order/politeness
+    [+ J2 purge candidates]).
 
     Both inputs are co-partitioned on the same canonical-host shard
     key, so the last-indexed lookup (J1) happens inside the shard
     group instead of a separate hash-join shuffle — one all-to-all
-    for the whole scheduling stage instead of two. Returns every
-    admitted row with status/fetch_order/planned_offset (the crawl
-    plan + lineage in one table).
+    for the whole scheduling stage instead of two. With
+    ``emit_purge=True`` the same shuffle also yields J2: the shard
+    owns every sitemap url of its hosts, so an index row whose
+    lower(url) appears in none of them is a purge candidate
+    (status='purge') — the anti-join costs no extra exchange.
+    Returns every admitted row with status/fetch_order/planned_offset
+    (the crawl plan + lineage in one table).
     """
 
     def frontier_side(batch: pa.Table) -> pa.Table:
@@ -162,11 +175,19 @@ def scheduled_frontier(
     both = frontier.union(index_state)
 
     robots = SANDBOX_ROBOTS if robots_map is None else robots_map
+    purge_hosts = SANDBOX_SITE_HOSTS if site_hosts is None else site_hosts
 
     def schedule_group(group: pa.Table) -> pa.Table:
         f_mask = pc.equal(group["kind"], "f")
         frontier_rows = group.filter(f_mask)
         index_rows = group.filter(pc.invert(f_mask))
+        sitemap_urls_lower = None
+        if emit_purge:
+            # membership set BEFORE any filtering: J2 tests against
+            # everything the sitemaps list (reference sitemap.py:200-204)
+            sitemap_urls_lower = set(
+                pc.utf8_lower(frontier_rows["url"].combine_chunks()).to_pylist()
+            )
         # J1 lookup inside the shard: url → last_indexed
         lookup = dict(
             zip(index_rows["url"].to_pylist(),
@@ -193,6 +214,35 @@ def scheduled_frontier(
         shard.load_checkpoint()
         out = shard.schedule(frontier_rows, n_429_for=sandbox_n_429)
         shard.checkpoint()
+
+        if emit_purge:
+            gone_mask = pa.array(
+                [
+                    sid in purge_hosts and u.lower() not in sitemap_urls_lower
+                    for u, sid in zip(
+                        index_rows["url"].to_pylist(),
+                        index_rows["site_id"].to_pylist(),
+                    )
+                ]
+            )
+            gone = index_rows.filter(gone_mask)
+            if gone.num_rows:
+                n = gone.num_rows
+                purge_rows = pa.table(
+                    {
+                        "url": gone["url"],
+                        "lastmod": pa.nulls(n, pa.string()),
+                        "priority": pa.nulls(n, pa.string()),
+                        "site_id": gone["site_id"],
+                        "seq": pa.nulls(n, pa.int64()),
+                        "shard": gone["shard"],
+                        "status": pa.array(["purge"] * n, pa.string()),
+                        "fetch_order": pa.array([-1] * n, pa.int64()),
+                        "planned_offset": pa.nulls(n, pa.float64()),
+                    },
+                    schema=out.schema,
+                )
+                out = pa.concat_tables([out, purge_rows])
         return out
 
     # num_partitions == num_shards: one shuffle partition per shard —
@@ -415,14 +465,17 @@ def crawl(
 
     sched = scheduled_frontier(
         sf_dir, num_shards=num_shards, checkpoint_dir=checkpoint_dir,
-        seen_mode=seen_mode,
+        seen_mode=seen_mode, emit_purge=purge,
     )
     if single_url is not None:
         # reference main.py:117-119: every non-matching url_info is
         # skipped — but the purge sub-pipeline still runs (main.py:102)
         target = single_url
         sched = sched.map_batches(
-            lambda t: t.filter(pc.equal(t["url"], target)),
+            lambda t: t.filter(
+                pc.or_(pc.equal(t["url"], target),
+                       pc.equal(t["status"], "purge"))
+            ),
             batch_format="pyarrow", batch_size=None,
         )
     sched.write_parquet(plan_dir)
@@ -457,11 +510,25 @@ def crawl(
         ).write_parquet(f"{out_dir}/index_state")
 
     n_purged = 0
-    if purge:
-        from ..stages.purge import purge_candidates
+    if purge and plan_counts.get("purge", 0) > 0:
+        # tombstones come straight from the plan (J2 rode the shard
+        # shuffle); uid = md5-UUID of the url (UIDExtractor semantics)
+        from ..functions.urlnorm import uid_for_url
 
-        purge_candidates(sf_dir).write_parquet(f"{out_dir}/purged")
-        n_purged = pads.dataset(f"{out_dir}/purged").count_rows()
+        def to_tombstones(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch["status"], "purge"))
+            urls = batch["url"].to_pylist()
+            return pa.table(
+                {
+                    "uid": pa.array([uid_for_url(u) for u in urls], pa.string()),
+                    "url": pa.array(urls, pa.string()),
+                }
+            )
+
+        ray.data.read_parquet(plan_dir).map_batches(
+            to_tombstones, batch_format="pyarrow", batch_size=None
+        ).write_parquet(f"{out_dir}/purged")
+        n_purged = plan_counts["purge"]
 
     if checkpoint_dir:
         write_lineage(checkpoint_dir, f"{out_dir}/lineage")

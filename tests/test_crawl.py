@@ -24,6 +24,9 @@ class TestCrawlEndToEnd:
         # hosts h3/h13/h23/h33 robots-block /docs/ → 41 urls blocked
         assert crawl_summary["plan_counts"]["scheduled"] == 375
         assert crawl_summary["plan_counts"]["robots_blocked"] == 41
+        # J2 rode the same shuffle: 46 vanished urls under site hosts
+        assert crawl_summary["plan_counts"]["purge"] == 46
+        assert crawl_summary["n_purged"] == 46
         assert "dup" not in crawl_summary["plan_counts"]
 
     def test_fetch_counts(self, crawl_summary):
@@ -109,5 +112,27 @@ class TestResume:
         crawl(SF, out_dir=str(out), num_shards=2, checkpoint_dir=str(out / "c"))
         s2 = crawl(SF, out_dir=str(tmp_path / "b"), num_shards=2,
                    checkpoint_dir=str(out / "c"))
-        assert s2["plan_counts"] == {"dup": 416}
+        assert s2["plan_counts"] == {"dup": 416, "purge": 46}
         assert s2["fetch_counts"] == {}
+
+
+class TestInShardPurgeEquivalence:
+    def test_plan_tombstones_match_antijoin(self, ray_session, tmp_path):
+        """J2 via the shard shuffle must equal the standalone
+        left-anti-join (stages/purge.py) — same (uid, url) set."""
+        import pyarrow.dataset as pads
+
+        from ftw_crawler_ray.pipelines.crawl import crawl
+        from ftw_crawler_ray.stages.purge import purge_candidates
+
+        out = tmp_path / "c"
+        crawl(SF, out_dir=str(out), num_shards=4)
+        plan_tombs = {
+            (r["uid"], r["url"])
+            for r in pads.dataset(str(out / "purged")).to_table().to_pylist()
+        }
+        join_tombs = {
+            (r["uid"], r["url"]) for r in purge_candidates(SF).take_all()
+        }
+        assert plan_tombs == join_tombs
+        assert len(plan_tombs) == 46
