@@ -163,7 +163,7 @@ class TestCuckooCrawl:
         assert s["plan_counts"]["scheduled"] >= 370  # tiny FP rate allowed
         s2 = crawl(SF, out_dir=str(tmp_path / "again"), num_shards=2,
                    checkpoint_dir=str(tmp_path / "ckpt"), seen_mode="cuckoo")
-        assert s2["plan_counts"] == {"dup": 416}
+        assert s2["plan_counts"] == {"dup": 416, "purge": 46}
 
 
 class TestPurgeToDelete:
