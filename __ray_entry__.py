@@ -620,9 +620,12 @@ WITH lagged AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sessions AS (
+    -- CAST: DuckDB's window sum(int) is HUGEINT -> pandas float64;
+    -- the driver's value hash is type-sensitive, the engine emits int64
     SELECT user_id, ts,
-           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+           CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+               AS session_id
     FROM lagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

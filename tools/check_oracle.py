@@ -56,6 +56,16 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> bool:
         )
         return False
     a, b = canon(ray_df), canon(sql_df)
+    # The driver's value hash is type-sensitive: int64 2 vs float64 2.0
+    # hash differently even though the tolerant compare below passes.
+    for col in a.columns:
+        ka, kb = a[col].dtype.kind, b[col].dtype.kind
+        if {ka, kb} <= {"i", "u", "f"} and ka != kb:
+            print(
+                f"  [{name}] DTYPE-KIND mismatch col {col}: "
+                f"ray={a[col].dtype} sql={b[col].dtype} (driver hash would differ)"
+            )
+            ok = False
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=False,
                                       rtol=1e-9, atol=1e-9)
