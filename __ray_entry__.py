@@ -555,11 +555,12 @@ SELECT url, lastmod FROM resources
 """,
         # politeness budget parity: virtual-clock token bucket with
         # the reference's 429 rule (sleep at current sleeptime per
-        # 429, double after — fetcher.py:60-66). Derivation: with
-        # k_j = #429-fetches before j on the host and s_j = 0.1*2^k_j,
-        # each fetch j advances the host clock by s_j*(1 + 2*[429_j])
-        # and a 429-fetch starts s_j late: t_i = Σ_{j<i} s_j*(1+2*[429_j])
-        # + s_i*[429_i]
+        # 429; double only when the retry 429s AGAIN —
+        # fetcher.py:60-66). The sandbox injects at most one 429 per
+        # fetch, so sleeptime never doubles: s = 0.1 constant, each
+        # fetch j advances the host clock by s*(1 + [429_j]) and a
+        # 429-fetch starts s late:
+        # t_i = Σ_{j<i} s*(1+[429_j]) + s*[429_i]
         "crawl_politeness": f"""
 WITH {SQL_RESOURCES}, {SQL_INDEX_STATE},
 cand AS (
@@ -578,20 +579,13 @@ sched AS (
                         seq ASC
            ) - 1 AS fetch_order
     FROM cand WHERE (doc_id % 41) % 10 <> 3
-),
-stepped AS (
-    SELECT *,
-           0.1 * power(2, coalesce(sum(is429) OVER (
-               PARTITION BY site_id ORDER BY fetch_order
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)) AS s_j
-    FROM sched
 )
 SELECT url, site_id, fetch_order,
-       round(coalesce(sum(s_j * (1 + 2 * is429)) OVER (
+       round(0.1 * (coalesce(sum(1 + is429) OVER (
                  PARTITION BY site_id ORDER BY fetch_order
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             + s_j * is429, 6) AS planned_offset
-FROM stepped
+             + is429), 6) AS planned_offset
+FROM sched
 """,
         "quality_scores": r"""
 WITH toks AS (

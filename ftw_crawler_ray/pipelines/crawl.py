@@ -117,6 +117,7 @@ def scheduled_frontier(
     replicate: int = 1,
     emit_purge: bool = False,
     site_hosts: frozenset | None = None,
+    run_id: str | None = None,
 ) -> ray.data.Dataset:
     """Frontier ∪ index_state → ONE host-hash shard shuffle →
     per-shard (J1 lookup + is_modified + dedup/robots/order/politeness
@@ -210,9 +211,13 @@ def scheduled_frontier(
             checkpoint_dir=checkpoint_dir,
             seen_mode=seen_mode,
             robots_map=robots,
+            run_id=run_id,
         )
         shard.load_checkpoint()
-        out = shard.schedule(frontier_rows, n_429_for=sandbox_n_429)
+        # numpy scheduling path (equivalence-tested vs the sequential
+        # loop in tests/test_state.py); self-falls-back to schedule()
+        # for multi-retry batches where the closed form doesn't hold
+        out = shard.schedule_vectorized(frontier_rows, n_429_for=sandbox_n_429)
         shard.checkpoint()
 
         if emit_purge:
@@ -458,27 +463,52 @@ def crawl(
     Status counts come from the written Parquet (metadata-cheap), not
     from re-executing operators.
     """
+    import shutil
+    import uuid
+
     import pyarrow.dataset as pads
+
+    from ..state.frontier import commit_checkpoints
 
     plan_dir = f"{out_dir}/plan"
     docs_dir = f"{out_dir}/docs"
 
+    # Overwrite semantics: Ray's write_parquet appends files into an
+    # existing directory, so a re-run with the same --out would
+    # double-count the prior plan and re-append docs. Clear the output
+    # subdirs (NEVER the checkpoint dir — that is the resume state).
+    for sub in ("plan", "docs", "index_state", "purged", "lineage"):
+        shutil.rmtree(f"{out_dir}/{sub}", ignore_errors=True)
+
+    run_id = uuid.uuid4().hex[:12]
     sched = scheduled_frontier(
         sf_dir, num_shards=num_shards, checkpoint_dir=checkpoint_dir,
-        seen_mode=seen_mode, emit_purge=purge,
+        seen_mode=seen_mode, emit_purge=purge, run_id=run_id,
     )
     if single_url is not None:
-        # reference main.py:117-119: every non-matching url_info is
-        # skipped — but the purge sub-pipeline still runs (main.py:102)
+        # reference main.py:76-77,117-119: non-matching SITES are
+        # skipped entirely before crawl_site, so purge runs only for
+        # the site owning the target url; within that site every
+        # non-matching url_info is skipped
+        from ..functions.urlnorm import host_of
+
         target = single_url
+        target_host = host_of(single_url)
         sched = sched.map_batches(
             lambda t: t.filter(
-                pc.or_(pc.equal(t["url"], target),
-                       pc.equal(t["status"], "purge"))
+                pc.or_(
+                    pc.equal(t["url"], target),
+                    pc.and_(pc.equal(t["status"], "purge"),
+                            pc.equal(t["site_id"], target_host)),
+                )
             ),
             batch_format="pyarrow", batch_size=None,
         )
     sched.write_parquet(plan_dir)
+    if checkpoint_dir:
+        # plan is durable → promote this run's staged shard
+        # checkpoints (retry-safe: see FrontierShard.checkpoint)
+        commit_checkpoints(checkpoint_dir, run_id)
 
     plan_counts = _status_counts(plan_dir, "status")
 

@@ -24,7 +24,11 @@ def host_stats(sf_dir: str) -> ray.data.Dataset:
         g = batch.group_by("site_id").aggregate(
             [("seq", "count"), ("seq", "min"), ("seq", "max")]
         )
-        return g.rename_columns(["site_id", "n_part", "min_part", "max_part"])
+        # select-by-name before renaming: pyarrow's aggregate output
+        # column ORDER is not contractual across versions
+        names = {"site_id": "site_id", "seq_count": "n_part",
+                 "seq_min": "min_part", "seq_max": "max_part"}
+        return g.select(list(names)).rename_columns(list(names.values()))
 
     agg = (
         frontier.map_batches(partials, batch_format="pyarrow", batch_size=None)

@@ -63,13 +63,36 @@ def read_seen_set(checkpoint_dir: str) -> set[str]:
     return seen
 
 
+def commit_checkpoints(checkpoint_dir: str, run_id: str) -> int:
+    """Promote this run's staged shard checkpoints onto the committed
+    paths; returns the number committed. Called AFTER the plan Parquet
+    is durably written, so a Ray retry of a scheduling task (which
+    re-reads only the committed state and re-writes its staged file
+    idempotently) can never mark this run's own URLs as dups. Stale
+    staged files from other (crashed) runs are removed."""
+    import glob
+
+    n = 0
+    suffix = f".staged-{run_id}.parquet"
+    for path in glob.glob(os.path.join(checkpoint_dir, "shard-*.staged-*.parquet")):
+        if path.endswith(suffix):
+            committed = path[: -len(suffix)] + ".parquet"
+            os.replace(path, committed)
+            n += 1
+        else:
+            os.remove(path)
+    return n
+
+
 class FrontierShard:
     def __init__(self, shard_id: int, checkpoint_dir: str | None = None,
                  seen_mode: str = "exact", capacity: int = 1 << 20,
                  default_sleeptime: float = 0.1,
-                 robots_map: dict[str, str] | None = None):
+                 robots_map: dict[str, str] | None = None,
+                 run_id: str | None = None):
         self.shard_id = shard_id
         self.checkpoint_dir = checkpoint_dir
+        self.run_id = run_id
         self.seen_mode = seen_mode
         if seen_mode == "cuckoo":
             self.seen = CuckooFilter(capacity)
@@ -86,6 +109,12 @@ class FrontierShard:
     # -- checkpointing -------------------------------------------------------
     def _ckpt_path(self) -> str:
         return os.path.join(self.checkpoint_dir, f"shard-{self.shard_id:05d}.parquet")
+
+    def _staged_path(self) -> str:
+        return os.path.join(
+            self.checkpoint_dir,
+            f"shard-{self.shard_id:05d}.staged-{self.run_id}.parquet",
+        )
 
     def load_checkpoint(self) -> bool:
         if not self.checkpoint_dir:
@@ -125,9 +154,16 @@ class FrontierShard:
             },
             schema=CHECKPOINT_SCHEMA,
         )
-        tmp = self._ckpt_path() + ".tmp"
+        # With a run_id, write to a staged path: load_checkpoint()
+        # reads only the committed path, so a retried scheduling task
+        # recomputes from the same prior state (idempotent) instead of
+        # seeing its own first attempt's seen-set and deduping the
+        # whole group away. commit_checkpoints() promotes staged →
+        # committed once the plan is durable.
+        dest = self._staged_path() if self.run_id else self._ckpt_path()
+        tmp = dest + ".tmp"
         pq.write_table(table, tmp)
-        os.replace(tmp, self._ckpt_path())
+        os.replace(tmp, dest)
 
     # -- vectorized scheduling ----------------------------------------------
     def schedule_vectorized(self, group: pa.Table, n_429_for=None) -> pa.Table:
@@ -142,9 +178,11 @@ class FrontierShard:
           here; per-url robots falls back to :meth:`schedule`)
         - ordering: per-host lexsort on (-priority, lastmod-missing,
           -lastmod, seq)
-        - politeness: closed-form virtual clock
-          t_i = Σ_{j<i} s_j (1 + 2·[429_j]) + s_i·[429_i],
-          s_j = base · 2^{#429 before j} — matches HostBudget's loop.
+        - politeness: closed-form virtual clock. With ≤1 retry per
+          fetch sleeptime never doubles (doubling needs the retry to
+          429 again), so s is the host's constant sleeptime and
+          t_i = t0 + Σ_{j<i} s·(1 + [429_j]) + s·[429_i] — matches
+          HostBudget's loop.
         """
         n = group.num_rows
         if n == 0:
@@ -251,13 +289,13 @@ class FrontierShard:
                 budget = self.politeness.budget(host_names[int(oh[s_i])])
                 f = flags[s_i:e_i]
                 base, t0 = budget.sleeptime, budget.next_time
-                k_before = np.r_[0.0, np.cumsum(f)[:-1]]
-                s_j = base * np.power(2.0, k_before)
-                contrib = s_j * (1 + 2 * f)
-                t = t0 + np.r_[0.0, np.cumsum(contrib)[:-1]] + s_j * f
+                # single-retry fetches never double sleeptime (the
+                # reference doubles only when the retry 429s again)
+                contrib = base * (1 + f)
+                t = t0 + np.r_[0.0, np.cumsum(contrib)[:-1]] + base * f
                 offsets[s_i:e_i] = t
-                # persist end state exactly as the sequential loop would
-                budget.sleeptime = base * (2.0 ** float(f.sum()))
+                # persist end state exactly as the sequential loop
+                # would: sleeptime unchanged, clock advanced
                 budget.next_time = t0 + float(contrib.sum())
             planned_offset[order] = offsets
             self.n_scheduled += len(order)

@@ -1,10 +1,10 @@
 """Per-host politeness with the reference's backoff parity.
 
 Reference semantics (fetcher.py:60-66; configuration.py:67): base
-``sleeptime`` 0.1 s between requests to a host; on each consecutive
-429 the crawler sleeps then retries, and doubles ``sleeptime`` —
-which persists for the rest of the site's crawl and is NEVER reset
-(SURVEY.md §7.4.4). Here that is a per-host virtual-time token
+``sleeptime`` 0.1 s between requests to a host; on a 429 the crawler
+sleeps then retries, and doubles ``sleeptime`` only when the retry
+itself returns 429 again — the doubled value persists for the rest
+of the site's crawl and is NEVER reset (SURVEY.md §7.4.4). Here that is a per-host virtual-time token
 bucket: the scheduler assigns each fetch a planned offset on the
 host's timeline instead of blocking a thread, so politeness costs no
 worker time and the budget is reproducible (same input → same
@@ -28,12 +28,16 @@ class HostBudget:
     def schedule_fetch(self, n_429: int = 0) -> float:
         """Reserve the next slot on this host's timeline; returns the
         planned start offset. ``n_429`` consecutive 429 responses add
-        one sleep each at the *current* sleeptime and double it after
-        each retry that still 429s — exactly the reference's loop."""
+        one sleep each at the *current* sleeptime; sleeptime doubles
+        only when the retry itself 429s again (i.e. after all but the
+        last 429) — exactly the reference's loop, which checks the
+        NEW response's status before doubling. k consecutive 429s end
+        with sleeptime·2^(k-1), not 2^k."""
         t = self.next_time
-        for _ in range(n_429):
+        for i in range(n_429):
             t += self.sleeptime
-            self.sleeptime *= 2
+            if i < n_429 - 1:
+                self.sleeptime *= 2
         self.next_time = t + self.sleeptime
         return t
 

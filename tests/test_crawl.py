@@ -105,6 +105,19 @@ class TestResume:
         resumed_seen = read_seen_set(str(part / "ckpt"))
         assert resumed_seen == full_seen
 
+    def test_rerun_same_out_overwrites(self, ray_session, tmp_path):
+        """Re-running with the same --out (no checkpoints) must
+        replace the previous run's outputs, not append to them —
+        plan/docs counts stay identical, not doubled."""
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        out = tmp_path / "same"
+        s1 = crawl(SF, out_dir=str(out), num_shards=2)
+        s2 = crawl(SF, out_dir=str(out), num_shards=2)
+        assert s2["plan_counts"] == s1["plan_counts"]
+        assert s2["fetch_counts"] == s1["fetch_counts"]
+        assert s2["plan_counts"]["scheduled"] == 375
+
     def test_rerun_is_all_dup(self, ray_session, tmp_path):
         from ftw_crawler_ray.pipelines.crawl import crawl
 

@@ -71,15 +71,24 @@ class TestPoliteness:
 
     def test_429_doubles_and_persists(self):
         # reference fetcher.py:60-66: sleep at current sleeptime per
-        # 429, double after; never reset
+        # 429; double ONLY when the retry 429s again; never reset
         st = PolitenessState(default_sleeptime=0.1)
         b = st.budget("h.org")
         assert b.schedule_fetch() == 0.0            # t=0, next=0.1
         t2 = b.schedule_fetch(n_429=1)              # sleeps 0.1 → starts 0.2
         assert t2 == pytest.approx(0.2)
-        assert b.sleeptime == pytest.approx(0.2)    # doubled, persists
+        assert b.sleeptime == pytest.approx(0.1)    # single 429: no double
         t3 = b.schedule_fetch()
-        assert t3 == pytest.approx(0.4)             # 0.2 + new sleeptime
+        assert t3 == pytest.approx(0.3)             # 0.2 + sleeptime
+
+        # two consecutive 429s: sleeps 0.1 then (doubled) 0.2,
+        # sleeptime ends at 0.2 = base*2^(k-1) and persists
+        st2 = PolitenessState(default_sleeptime=0.1)
+        b2 = st2.budget("h.org")
+        t = b2.schedule_fetch(n_429=2)
+        assert t == pytest.approx(0.3)              # 0 + 0.1 + 0.2
+        assert b2.sleeptime == pytest.approx(0.2)
+        assert b2.schedule_fetch() == pytest.approx(0.5)
 
     def test_roundtrip(self):
         st = PolitenessState(0.1)
@@ -156,10 +165,10 @@ class TestFrontierShardCheckpoint:
         shard = FrontierShard(1, checkpoint_dir=str(tmp_path))
         shard.schedule(
             self._group(["http://a.org/1", "http://a.org/2"]),
-            n_429_for=lambda u: 1 if u.endswith("/1") else 0,
+            n_429_for=lambda u: 2 if u.endswith("/1") else 0,
         )
         sleeptime = shard.politeness.budget("a.org").sleeptime
-        assert sleeptime == pytest.approx(0.2)  # doubled by the 429
+        assert sleeptime == pytest.approx(0.2)  # doubled by the 2nd 429
         shard.checkpoint()
         resumed = FrontierShard(1, checkpoint_dir=str(tmp_path))
         resumed.load_checkpoint()
@@ -172,6 +181,38 @@ class TestFrontierShardCheckpoint:
         )
         out = shard.schedule(self._group(["http://a.org/x", "http://b.org/y"]))
         assert out["status"].to_pylist() == ["robots_blocked", "scheduled"]
+
+    def test_staged_checkpoint_retry_safe(self, tmp_path):
+        """A Ray retry of a scheduling task must recompute from the
+        committed state, not its own first attempt's checkpoint —
+        run_id staging + commit_checkpoints gives exactly that."""
+        from ftw_crawler_ray.state.frontier import commit_checkpoints
+
+        group = self._group(["http://a.org/1", "http://a.org/2"])
+        a = FrontierShard(0, checkpoint_dir=str(tmp_path), run_id="r1")
+        assert not a.load_checkpoint()
+        out1 = a.schedule(group)
+        a.checkpoint()
+
+        # simulated task retry: same run, fresh worker — sees no
+        # committed checkpoint, reproduces the identical plan
+        b = FrontierShard(0, checkpoint_dir=str(tmp_path), run_id="r1")
+        assert not b.load_checkpoint()
+        out2 = b.schedule(group)
+        b.checkpoint()
+        assert out1["status"].to_pylist() == out2["status"].to_pylist() == [
+            "scheduled", "scheduled"]
+
+        # plan durable → promote; a stale staged file from a crashed
+        # run is swept
+        FrontierShard(1, checkpoint_dir=str(tmp_path), run_id="dead").checkpoint()
+        assert commit_checkpoints(str(tmp_path), "r1") == 1
+        import glob as g
+        assert not g.glob(str(tmp_path / "*.staged-*"))
+
+        c = FrontierShard(0, checkpoint_dir=str(tmp_path))
+        assert c.load_checkpoint()
+        assert set(c.schedule(group)["status"].to_pylist()) == {"dup"}
 
     def test_cuckoo_mode_checkpoint(self, tmp_path):
         shard = FrontierShard(3, checkpoint_dir=str(tmp_path), seen_mode="cuckoo")
