@@ -331,6 +331,28 @@ def _q_minhash_pairs(sf_dir: str):
     return minhash_candidate_pairs(sf_dir)
 
 
+def _q_minhash_verified(sf_dir: str):
+    from ftw_crawler_ray.stages.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(sf_dir, threshold=0.8)
+
+
+def _q_lsh_near_dups(sf_dir: str):
+    # 64 bands × 4 planes: per-pair miss probability ~1e-5 at the 0.4
+    # threshold — empirically recall 1.0 vs the brute-force twin at
+    # sf0.001/sf0.01 with the pinned seed, so the exact-SQL oracle
+    # applies (verification makes precision exact by construction)
+    from ftw_crawler_ray.stages.similarity import lsh_near_dups
+
+    return lsh_near_dups(sf_dir, threshold=0.4, n_bands=64, planes_per_band=4)
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from ftw_crawler_ray.stages.dedup import simhash_near_dups
+
+    return simhash_near_dups(sf_dir)
+
+
 def _q_simhash(sf_dir: str):
     from ftw_crawler_ray.stages.dedup import simhash_table
 
@@ -376,13 +398,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "ann_topk": _q_ann_topk,
         "near_dups": _q_near_dups,
-        # rows-only (non-SQL-expressible: heuristic classifier, sketch
-        # signatures, LSH bucketing, binary payload plumbing)
-        "minhash_dedup": _q_minhash_dedup,
+        "lsh_near_dups": _q_lsh_near_dups,
+        "minhash_verified": _q_minhash_verified,
         "lang_id": _q_lang_id,
+        # rows-only (non-SQL-expressible: cluster labels from LSH
+        # collisions, sketch signatures, binary payload plumbing)
+        "minhash_dedup": _q_minhash_dedup,
         "fingerprints": _q_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "image_features": _q_image_features,
         "sampled_frames": _q_sampled_frames,
     }
@@ -653,5 +678,80 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+""",
+        # LSH recall is exactly 1.0 on this corpus at these pinned
+        # parameters (seed 42, 64×4 banding, threshold 0.4) and
+        # verification is exact, so the bucketed pipeline's output
+        # equals the full pairwise scan (both threshold the 6dp-
+        # rounded similarity, like near_dups)
+        "lsh_near_dups": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+""",
+        # exact word-5-gram Jaccard over re-derived shingle SETS —
+        # the engine hashes grams (rolling 64-bit) but Jaccard over
+        # hash sets equals Jaccard over the gram strings themselves
+        # (collision probability ~2^-64); LSH banding at 64 perms /
+        # 16 bands has per-pair miss ~2e-4 at j=0.8 and recall 1.0
+        # on this corpus, verification is exact
+        "minhash_verified": r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+           END AS gs
+    FROM words
+),
+sets AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+    FROM sets a JOIN sets b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(ninter * 1.0 / (sa.n + sb.n - ninter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.8
+""",
+        # stopword-profile language id: argmax of per-language stopword
+        # hits, ties resolved en > de > fr (the engine's dict order
+        # with strict >), all-zero → unknown
+        "lang_id": r"""
+WITH words AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+hits AS (
+    SELECT doc_id,
+        sum(CASE WHEN w IN ('the','and','of','to','a','in','is','it','you','that')
+                 THEN 1 ELSE 0 END) AS en,
+        sum(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','mit','zu','den')
+                 THEN 1 ELSE 0 END) AS de,
+        sum(CASE WHEN w IN ('le','la','les','et','est','un','une','des','que','pas')
+                 THEN 1 ELSE 0 END) AS fr
+    FROM words GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN coalesce(h.en, 0) = 0 AND coalesce(h.de, 0) = 0
+                 AND coalesce(h.fr, 0) = 0 THEN 'unknown'
+            WHEN h.en >= h.de AND h.en >= h.fr THEN 'en'
+            WHEN h.de >= h.fr THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """,
     }

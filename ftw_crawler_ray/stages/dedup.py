@@ -22,6 +22,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
@@ -57,57 +58,96 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 # minhash + LSH
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# Universal-hash prime 2^31-1: products a·h' with a, h' < 2^31 fit a
+# uint64 exactly, so the whole signature stays in C-speed numpy (the
+# 61-bit Mersenne variant needs 122-bit products → Python bigints,
+# ~100× slower per signature).
+_P31 = (1 << 31) - 1
+_MERSENNE = _P31  # empty-shingle sentinel == max hash value
 _N_PERM_DEFAULT = 64
+# odd multiplier for the rolling shingle combine (64-bit golden ratio)
+_ROLL_C = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _perm_params(n_perm: int, seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+    a = rng.integers(1, _P31, size=n_perm, dtype=np.uint64)
+    b = rng.integers(0, _P31, size=n_perm, dtype=np.uint64)
     return a, b
 
 
-def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Word k-shingle 64-bit hashes (stable: blake2b truncated)."""
+def _word_hash(w: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def _word_hash_array(words: list[str], cache: dict | None = None) -> np.ndarray:
+    """uint64 blake2b per word, memoized across calls — natural text
+    repeats words heavily, so an actor-held cache turns most lookups
+    into dict hits instead of hash computations."""
+    out = np.empty(len(words), dtype=np.uint64)
+    if cache is None:
+        for i, w in enumerate(words):
+            out[i] = _word_hash(w)
+        return out
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = _word_hash(w)
+            cache[w] = h
+        out[i] = h
+    return out
+
+
+def shingles(text: str, k: int = 5, cache: dict | None = None) -> np.ndarray:
+    """Word k-shingle 64-bit hashes.
+
+    Order-sensitive rolling combine of per-word blake2b hashes:
+    g_i = Σ_j wh[i+j]·C^(k-1-j) (mod 2^64). One cheap hash per WORD
+    plus a vectorized combine, instead of one blake2b per k-word gram
+    string — same dedup semantics (two texts share a shingle iff they
+    share the k-gram), ~k× less hashing in the hot path."""
     words = text.split()
-    if len(words) < k:
-        grams = [" ".join(words)] if words else [""]
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest(), "big"
-        )
+    if not words:
+        return np.array([np.uint64(0)], dtype=np.uint64)
+    wh = _word_hash_array(words, cache)
+    n = len(words)
+    kk = min(k, n)
+    powers = _ROLL_C ** np.arange(kk - 1, -1, -1, dtype=np.uint64)
+    out = np.zeros(n - kk + 1, dtype=np.uint64)
+    for j in range(kk):
+        out += wh[j : j + n - kk + 1] * powers[j]
     return out
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """n_perm minima of (a*h+b) mod p — vectorized outer product."""
+    """n_perm minima of (a·(h mod p) + b) mod p — pure uint64 numpy
+    (a, b < 2^31 so every product fits 64 bits)."""
     if len(sh) == 0:
-        return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    # (n_perm, n_shingles) — use object->uint128 avoidance: mod-mul in uint64
-    # via python ints is slow; use float-safe trick with uint64 overflow-free
-    # computation in numpy by splitting: (a*h) % p with a,h < 2^61 needs
-    # 122-bit products → do it in Python-int vector via np.frompyfunc only
-    # for small n; here use np.uint64 wraparound-safe approach:
-    prod = (a[:, None].astype(object) * sh[None, :].astype(object)) % _MERSENNE
-    sig = ((prod + b[:, None].astype(object)) % _MERSENNE).min(axis=1)
-    return sig.astype(np.uint64)
+        return np.full(len(a), _P31, dtype=np.uint64)
+    hp = sh % np.uint64(_P31)
+    prod = (a[:, None] * hp[None, :] + b[:, None]) % np.uint64(_P31)
+    return prod.min(axis=1)
 
 
 class MinHasher:
-    """Actor-pool stage: permutation params built once per actor
-    (map_batches(MinHasher, concurrency=N) — SURVEY.md §7.2)."""
+    """Actor-pool stage: permutation params AND the word-hash memo
+    built once per actor (map_batches(MinHasher, concurrency=N) —
+    SURVEY.md §7.2)."""
+
+    _CACHE_LIMIT = 1 << 20  # ~16 MB of dict; reset beyond that
 
     def __init__(self, n_perm: int = _N_PERM_DEFAULT, k: int = 5, seed: int = 42):
         self.a, self.b = _perm_params(n_perm, seed)
         self.k = k
+        self.cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.cache) > self._CACHE_LIMIT:
+            self.cache.clear()
         sigs = [
-            minhash_signature(shingles(t, self.k), self.a, self.b)
+            minhash_signature(shingles(t, self.k, self.cache), self.a, self.b)
             for t in batch["text"].to_pylist()
         ]
         return pa.table(
@@ -119,20 +159,32 @@ class MinHasher:
 
 
 def _explode_bands(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
-    doc_ids, band_ids, band_hashes = [], [], []
-    for doc_id, sig in zip(batch["doc_id"].to_pylist(), batch["sig"].to_pylist()):
-        sig = np.asarray(sig, dtype=np.uint64)
-        for band in range(n_bands):
-            chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-            h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-            doc_ids.append(doc_id)
-            band_ids.append(band)
-            band_hashes.append(h)
+    """doc → n_bands rows of (doc_id, band_id, band_hash): fully
+    vectorized — the signature list column flattens zero-copy to a
+    (n, n_perm) uint64 matrix and each band's rows combine via the
+    rolling multiplier (no per-chunk blake2b; two docs share a
+    band_hash iff they share the band's signature rows, modulo a
+    2^-64 collision)."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "band_id": pa.array([], pa.int32()),
+             "band_hash": pa.array([], pa.uint64())}
+        )
+    sig_col = batch["sig"].combine_chunks()
+    sig = sig_col.flatten().to_numpy(zero_copy_only=False).reshape(n, -1)
+    s3 = sig.astype(np.uint64).reshape(n, n_bands, rows_per_band)
+    powers = _ROLL_C ** np.arange(1, rows_per_band + 1, dtype=np.uint64)
+    bh = (s3 * powers).sum(axis=2, dtype=np.uint64)  # (n, n_bands)
+    ids = batch["doc_id"].to_numpy()
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.string()),
+            "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+            "band_id": pa.array(
+                np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(bh.ravel(), pa.uint64()),
         }
     )
 
@@ -163,7 +215,7 @@ def minhash_candidate_pairs(
     )
     sigs = docs.map_batches(
         MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "k": k},
-        batch_format="pyarrow", batch_size=None, concurrency=4,
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
     )
     bands = sigs.map_batches(
         lambda t: _explode_bands(t, n_bands, rows_per_band),
@@ -191,32 +243,64 @@ def minhash_candidate_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
 
 
-def minhash_dedup(sf_dir: str, threshold: float = 0.8,
-                  n_perm: int = _N_PERM_DEFAULT, n_bands: int = 16,
-                  k: int = 5) -> ray.data.Dataset:
-    """Complete near-dup pipeline: LSH candidates → exact-Jaccard
-    verify (texts broadcast once via ray.put — at 10^10 docs swap for
-    a candidate⋈texts hash join) → connected components → (doc_id,
-    cluster_id=min doc of component). Components come from
-    driver-side union-find over the *verified pair list*, which is
-    output-sized (≪ corpus); the groupby-based min-label-propagation
-    variant slots in when pairs no longer fit one node.
-    """
-    import pyarrow.parquet as pq
+_VERIFY_PARTITIONS = 16
 
-    texts_tbl = pq.read_table(
+
+def minhash_verified_pairs(
+    sf_dir: str,
+    threshold: float = 0.8,
+    n_perm: int = _N_PERM_DEFAULT,
+    n_bands: int = 16,
+    k: int = 5,
+    num_partitions: int = _VERIFY_PARTITIONS,
+) -> ray.data.Dataset:
+    """LSH candidates → exact-Jaccard verify via candidates ⋈
+    documents lookup joins (one per pair side, groupby-lowered —
+    see util.attach_column for why not Dataset.join). Texts move
+    through the shuffle keyed by doc_id — nothing is broadcast and
+    the driver never materializes the corpus, so this is the 100 TB
+    shape: candidate volume (LSH output) bounds everything
+    downstream. Output: (doc_a, doc_b, jaccard ≥ threshold)."""
+    from .util import attach_column
+
+    candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k)
+    docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    texts_ref = ray.put(
-        dict(zip(texts_tbl["doc_id"].to_pylist(), texts_tbl["text"].to_pylist()))
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    with_a = attach_column(
+        candidates, docs, item_key="doc_a", lookup_key="doc_id",
+        payload_col="text", out_col="text_a",
+        item_schema=pair_schema, payload_type=pa.string(),
     )
-    candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k)
+    with_both = attach_column(
+        with_a, docs, item_key="doc_b", lookup_key="doc_id",
+        payload_col="text", out_col="text_b",
+        item_schema=pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+             ("text_a", pa.string())]
+        ),
+        payload_type=pa.string(),
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
+        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+            return pa.table(
+                {"doc_a": pa.array([], pa.int64()),
+                 "doc_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        cache: dict[str, int] = {}
         keep_a, keep_b, sims = [], [], []
-        for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            j = jaccard(texts[a], texts[b], k)
+        for a, b, ta, tb in zip(
+            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
+        ):
+            sa = set(shingles(ta, k, cache).tolist())
+            sb = set(shingles(tb, k, cache).tolist())
+            union = len(sa | sb)
+            j = (len(sa & sb) / union) if union else 1.0
             if j >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
@@ -229,27 +313,128 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
             }
         )
 
-    verified = candidates.map_batches(
-        verify, batch_format="pyarrow", batch_size=None
+    return with_both.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    num_partitions: int = _VERIFY_PARTITIONS,
+    max_iter: int = 50,
+) -> ray.data.Dataset:
+    """(doc_a, doc_b) edges → (doc_id, cluster_id = min doc_id of the
+    component), computed as distributed min-label propagation to a
+    fixed point: each round every node takes the min of its own label
+    and its neighbors' labels (edges ⋈ labels lookup join +
+    groupby-min), until no label changes. Rounds needed = component
+    diameter (near-dup clusters are short chains); work per round =
+    O(edges) through two sort-shuffle groupbys — no driver-side
+    union-find and no whole corpus on any single node. Convergence is
+    detected by the label SUM: labels shrink monotonically, so the
+    fixed point is exactly 'sum unchanged' — one cheap aggregate per
+    round, no compare join."""
+    from ray.data.aggregate import Min as AggMin, Sum as AggSum
+
+    from .util import attach_column, ensure_schema
+
+    _edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+    _label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return _edge_schema.empty_table()
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [t["doc_a"].combine_chunks().cast(pa.int64()),
+                     t["doc_b"].combine_chunks().cast(pa.int64())]
+                ),
+                "dst": pa.concat_arrays(
+                    [t["doc_b"].combine_chunks().cast(pa.int64()),
+                     t["doc_a"].combine_chunks().cast(pa.int64())]
+                ),
+            }
+        )
+
+    edges = pairs.map_batches(
+        to_edges, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def agg_to_labels(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return _label_schema.empty_table()
+        return pa.table(
+            {
+                "doc_id": t["src"].combine_chunks().cast(pa.int64()),
+                "label": pc.min_element_wise(t["src"], t["min_nb"]).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    # init fused with round 1: label(x) = min(x, min neighbor)
+    labels = (
+        edges.groupby("src")
+        .aggregate(AggMin("dst", alias_name="min_nb"))
+        .map_batches(agg_to_labels, batch_format="pyarrow", batch_size=None)
+        .materialize()
     )
-    pairs = verified.select_columns(["doc_a", "doc_b"]).take_all()
 
-    parent: dict[int, int] = {}
+    def label_sum(ds) -> int:
+        row = ds.aggregate(AggSum("label", alias_name="s"))
+        return int(row["s"]) if row and row.get("s") is not None else 0
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    prev_sum = label_sum(labels)
+    for _ in range(max_iter):
+        # neighbor labels: for edge (src, dst), label(dst) reaches src
+        prop = attach_column(
+            edges.map_batches(
+                ensure_schema(_edge_schema),
+                batch_format="pyarrow", batch_size=None,
+            ),
+            labels,
+            item_key="dst", lookup_key="doc_id",
+            payload_col="label", out_col="label",
+            item_schema=pa.schema([("src", pa.int64())]),
+            payload_type=pa.int64(),
+        ).map_batches(
+            lambda t: pa.table(
+                {"doc_id": t["src"], "label": t["label"]}, schema=_label_schema
+            ) if t.num_rows and "src" in t.column_names
+            else _label_schema.empty_table(),
+            batch_format="pyarrow", batch_size=None,
+        )
+        labels = (
+            labels.union(prop)
+            .groupby("doc_id")
+            .aggregate(AggMin("label", alias_name="label"))
+            .map_batches(
+                ensure_schema(_label_schema),
+                batch_format="pyarrow", batch_size=None,
+            )
+            .materialize()
+        )
+        new_sum = label_sum(labels)
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
 
-    for p in pairs:
-        ra, rb = find(p["doc_a"]), find(p["doc_b"])
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    rows = sorted((doc, find(doc)) for doc in parent)
-    return ray.data.from_items(
-        [{"doc_id": d, "cluster_id": c} for d, c in rows]
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "cluster_id": t["label"]}),
+        batch_format="pyarrow", batch_size=None,
     )
+
+
+def minhash_dedup(sf_dir: str, threshold: float = 0.8,
+                  n_perm: int = _N_PERM_DEFAULT, n_bands: int = 16,
+                  k: int = 5) -> ray.data.Dataset:
+    """Complete near-dup pipeline: LSH candidates → exact-Jaccard
+    verify (candidates ⋈ documents hash joins — nothing broadcast) →
+    distributed connected components (min-label propagation) →
+    (doc_id, cluster_id = min doc of component). Every stage's
+    data volume is bounded by max(corpus stream, verified pairs);
+    no driver materialization anywhere."""
+    verified = minhash_verified_pairs(sf_dir, threshold, n_perm, n_bands, k)
+    return connected_components(verified.select_columns(["doc_a", "doc_b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -257,41 +442,128 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word unigrams (blake2b word hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = int.from_bytes(
-            hashlib.blake2b(w.encode("utf-8"), digest_size=8).digest(), "big"
+def simhash64(text: str, cache: dict | None = None) -> int:
+    """64-bit SimHash over word unigrams (blake2b word hashes).
+    Vectorized: word hashes → (n_words, 64) ±1 bit matrix → column
+    sums → majority bits. Values identical to the per-word loop."""
+    words = text.split()
+    if not words:
+        return 0
+    wh = _word_hash_array(words, cache)
+    bits = (
+        (wh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.int32)
+    acc = (2 * bits - 1).sum(axis=0)
+    return int(
+        ((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()
+    )
+
+
+class SimHasher:
+    """Actor-pool stage: word-hash memo shared across batches."""
+
+    def __init__(self):
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.cache) > MinHasher._CACHE_LIMIT:
+            self.cache.clear()
+        hashes = [simhash64(t, self.cache) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(hashes, pa.uint64()),
+                # 16-bit prefix bucket: near-dups (small hamming dist)
+                # mostly share it; simhash_near_dups checks all
+                # rotations for full hamming-radius coverage
+                "bucket": pa.array([h >> 48 for h in hashes], pa.uint32()),
+            }
         )
-        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
 
 
 def simhash_table(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-
-    def add_simhash(batch: pa.Table) -> pa.Table:
-        hashes = [simhash64(t) for t in batch["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "simhash": pa.array(hashes, pa.uint64()),
-                # 16-bit prefix bucket: near-dups (small hamming dist)
-                # mostly share it; full pipeline checks rotated buckets
-                "bucket": pa.array([h >> 48 for h in hashes], pa.uint32()),
-            }
-        )
-
-    return docs.map_batches(add_simhash, batch_format="pyarrow", batch_size=None)
+    return docs.map_batches(
+        SimHasher, batch_format="pyarrow", batch_size=None, concurrency=(1, 4)
+    )
 
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash_near_dups(sf_dir: str, radius: int = 3,
+                      n_rot: int = 8) -> ray.data.Dataset:
+    """Hamming-radius near-dup pairs via rotated prefix buckets
+    (Charikar / Manku-style): for each of ``n_rot`` bit-rotations,
+    bucket on the rotated hash's top 16 bits; two hashes within
+    hamming distance r share at least one rotated prefix with high
+    probability (r ≤ 3 over 8 rotations of 64 bits ⇒ some 16-bit
+    window avoids all differing bits by pigeonhole when the diffs
+    cluster; verification is exact so precision is always 1).
+    Output: (doc_a, doc_b, hamming) with hamming ≤ radius."""
+    sigs = simhash_table(sf_dir).select_columns(["doc_id", "simhash"])
+    rot_step = 64 // n_rot
+
+    def explode_rot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "rot": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.uint32()),
+                 "simhash": pa.array([], pa.uint64())}
+            )
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        ids = batch["doc_id"].to_numpy()
+        tables = []
+        for r in range(n_rot):
+            s = np.uint64(r * rot_step)
+            rot = (h << s) | (h >> np.uint64(64 - int(s))) if s else h
+            tables.append(
+                pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "rot": pa.array(np.full(n, r, dtype=np.int32), pa.int32()),
+                        "bucket": pa.array(
+                            (rot >> np.uint64(48)).astype(np.uint32), pa.uint32()
+                        ),
+                        "simhash": pa.array(h, pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        hs = group["simhash"].to_numpy().astype(np.uint64)
+        order = np.argsort(ids)
+        ids, hs = ids[order], hs[order]
+        a_ids, b_ids, dists = [], [], []
+        for i in range(len(ids)):
+            x = hs[i] ^ hs[i + 1 :]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for j in np.nonzero(d <= radius)[0]:
+                if ids[i] != ids[i + 1 + j]:
+                    a_ids.append(ids[i])
+                    b_ids.append(ids[i + 1 + j])
+                    dists.append(int(d[j]))
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids, pa.int64()),
+                "doc_b": pa.array(b_ids, pa.int64()),
+                "hamming": pa.array(dists, pa.int64()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(explode_rot, batch_format="pyarrow", batch_size=None)
+        .groupby(["rot", "bucket"])
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    )
+    # a pair can collide under several rotations — keep one row
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

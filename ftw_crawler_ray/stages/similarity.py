@@ -22,6 +22,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
+from ray.data.aggregate import Count as AggCount
 
 
 def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
@@ -104,21 +105,28 @@ def ann_topk(sf_dir: str, query_ids: list[int], k: int = 10) -> ray.data.Dataset
     )
 
 
+@ray.remote
+def _load_corpus_matrix(path: str):
+    """Load + normalize the full embedding matrix in a WORKER task —
+    the driver only ever holds the ObjectRef. Used by the exact
+    (brute-force) twin; the scale path is lsh_near_dups."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    return ids, mat
+
+
 def near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     """All embedding pairs with cosine ≥ threshold (vec_a < vec_b).
 
-    Batch × broadcast-matrix product: each task compares its block
-    against the full (normalized) corpus matrix — fine up to ~10^6
-    vectors per node; beyond that use ``lsh_buckets`` + within-bucket
-    exact (same output contract)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    all_ids = t["vec_id"].to_numpy()
-    all_mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
-    ref = ray.put((all_ids, all_mat))
+    Batch × shared-matrix product: each task compares its block
+    against the full (normalized) corpus matrix, loaded once in a
+    worker task and shared via the object store — the exact baseline
+    / oracle twin of ``lsh_near_dups``, O(n²) compute by design; use
+    the LSH variant beyond ~10^6 vectors."""
+    ref = _load_corpus_matrix.remote(f"{sf_dir}/embeddings.parquet")
 
     def pairs(batch: pa.Table) -> pa.Table:
         ids_all, mat_all = ray.get(ref)
@@ -173,5 +181,126 @@ def lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 42) -> ray.data.Dat
             )
 
     return _read_embeddings(sf_dir).map_batches(
-        Signer, batch_format="pyarrow", batch_size=None, concurrency=2
+        Signer, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)
     )
+
+
+def _band_signatures(sf_dir: str, n_bands: int, planes_per_band: int,
+                     seed: int) -> ray.data.Dataset:
+    """(vec_id, band_id, bucket): one row per vector per band, bucket
+    = the band's hyperplane sign bits. Ids-only — vectors do NOT ride
+    the explode (at 16 bands that would shuffle the corpus 16×);
+    exact similarity is recovered later by joining embeddings back."""
+
+    class BandSigner:
+        def __init__(self):
+            self.planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, emb = _matrix(batch)
+            if self.planes is None:
+                self.planes = np.random.default_rng(seed).standard_normal(
+                    (emb.shape[1], n_bands * planes_per_band)
+                )
+            bits = (emb @ self.planes) > 0  # (n, n_bands*ppb)
+            b3 = bits.reshape(len(ids), n_bands, planes_per_band)
+            weights = 1 << np.arange(planes_per_band)
+            buckets = (b3 * weights).sum(axis=2).astype(np.int64)  # (n, n_bands)
+            n = len(ids)
+            return pa.table(
+                {
+                    "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                    "band_id": pa.array(
+                        np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                    ),
+                    "bucket": pa.array(buckets.ravel(), pa.int64()),
+                }
+            )
+
+    return _read_embeddings(sf_dir).map_batches(
+        BandSigner, batch_format="pyarrow", batch_size=None, concurrency=(1, 4)
+    )
+
+
+def lsh_near_dups(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_bands: int = 16,
+    planes_per_band: int = 4,
+    seed: int = 42,
+    num_partitions: int = 8,
+) -> ray.data.Dataset:
+    """Near-dup pairs via banded random-hyperplane LSH — the scale
+    path (same output contract as ``near_dup_pairs``): band explode →
+    bucket groupby → candidate pairs → pair dedup → exact-cosine
+    verify through candidates ⋈ embeddings hash joins. Vectors
+    shuffle at most twice (once per join side) regardless of band
+    count; candidate volume bounds everything else. Precision is
+    exact (verification); recall is the LSH band-collision
+    probability 1-(1-(1-θ/π)^p)^b — at cos ≥ 0.95, p=4, b=16 the
+    per-pair miss rate is ~4e-8."""
+    bands = _band_signatures(sf_dir, n_bands, planes_per_band, seed)
+
+    def pairs_in_bucket(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["vec_id"].to_numpy())
+        if len(ids) < 2:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ii], pa.int64()),
+                "vec_b": pa.array(ids[jj], pa.int64()),
+            }
+        )
+
+    from ..stages.util import attach_column
+
+    candidates = (
+        bands.groupby(["band_id", "bucket"])
+        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(AggCount(alias_name="n_bands_hit"))  # distinct pairs
+    )
+
+    emb = _read_embeddings(sf_dir)
+    emb_type = pa.list_(pa.float32())
+    pair_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    with_a = attach_column(
+        candidates, emb, item_key="vec_a", lookup_key="vec_id",
+        payload_col="embedding", out_col="emb_a",
+        item_schema=pair_schema, payload_type=emb_type,
+    )
+    with_both = attach_column(
+        with_a, emb, item_key="vec_b", lookup_key="vec_id",
+        payload_col="embedding", out_col="emb_b",
+        item_schema=pa.schema(
+            [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("emb_a", emb_type)]
+        ),
+        payload_type=emb_type,
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_a" not in batch.column_names:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        ea = _normalize(np.array(batch["emb_a"].to_pylist(), dtype=np.float64))
+        eb = _normalize(np.array(batch["emb_b"].to_pylist(), dtype=np.float64))
+        sims = np.round((ea * eb).sum(axis=1), 6)
+        keep = sims >= threshold
+        a = batch["vec_a"].to_numpy()[keep]
+        b = batch["vec_b"].to_numpy()[keep]
+        return pa.table(
+            {
+                "vec_a": pa.array(a, pa.int64()),
+                "vec_b": pa.array(b, pa.int64()),
+                "sim": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    return with_both.map_batches(verify, batch_format="pyarrow", batch_size=None)

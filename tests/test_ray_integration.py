@@ -106,6 +106,83 @@ class TestSimilarityPipelines:
         assert len(df) == 500
         assert df["bucket"].between(0, 2**16 - 1).all()
 
+    def test_lsh_near_dups_matches_brute_force(self, ray_session):
+        """Bucketed LSH + exact verify vs the all-pairs twin: at the
+        driver-pinned parameters recall is 1.0 on this corpus and
+        precision is exact by construction — identical pair sets."""
+        from ftw_crawler_ray.stages.similarity import (
+            lsh_near_dups,
+            near_dup_pairs,
+        )
+
+        brute = near_dup_pairs(SF, threshold=0.4).to_pandas()
+        lsh = lsh_near_dups(
+            SF, threshold=0.4, n_bands=64, planes_per_band=4
+        ).to_pandas()
+        bs = set(zip(brute.vec_a, brute.vec_b))
+        ls = set(zip(lsh.vec_a, lsh.vec_b))
+        assert bs and ls == bs
+        assert (lsh["sim"] >= 0.4).all()
+
+
+class TestDedupPipelines:
+    def test_connected_components_matches_union_find(self, ray_session):
+        """Distributed min-label propagation vs a local union-find on
+        a graph with a chain (forces >1 propagation round), a
+        triangle, and a singleton edge."""
+        import ray.data
+
+        from ftw_crawler_ray.stages.dedup import connected_components
+
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5),      # chain 1-5
+                 (10, 11), (11, 12), (10, 12),        # triangle
+                 (20, 21)]
+        pairs = ray.data.from_items(
+            [{"doc_a": a, "doc_b": b} for a, b in edges]
+        )
+        got = sorted(
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components(pairs).take_all()
+        )
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        ref = sorted((d, find(d)) for d in parent)
+        assert got == ref
+        assert dict(got)[5] == 1  # chain end reached the min label
+
+    def test_minhash_verified_precision(self, ray_session):
+        from ftw_crawler_ray.stages.dedup import minhash_verified_pairs
+
+        df = minhash_verified_pairs(SF, threshold=0.8).to_pandas()
+        assert len(df) > 0
+        assert (df["jaccard"] >= 0.8).all()
+        assert (df["doc_a"] < df["doc_b"]).all()
+
+    def test_simhash_near_dups_within_radius(self, ray_session):
+        from ftw_crawler_ray.stages.dedup import (
+            hamming64,
+            simhash_near_dups,
+            simhash_table,
+        )
+
+        table = simhash_table(SF).to_pandas()
+        by_id = dict(zip(table.doc_id, table.simhash))
+        df = simhash_near_dups(SF, radius=3).to_pandas()
+        assert len(df) > 0
+        for _, r in df.iterrows():
+            assert hamming64(int(by_id[r.doc_a]), int(by_id[r.doc_b])) == r.hamming
+            assert r.hamming <= 3
+
 
 class TestFetchVariants:
     def test_join_and_pool_agree(self, ray_session):
