@@ -124,16 +124,40 @@ def text_content(el: ET.Element) -> str:
     return "".join(el.itertext())
 
 
+_XPATH_STEP = re.compile(
+    r"^(?:[\w.-]+|\*|\.\.?)"                       # tag | * | . | ..
+    r"(?:\[(?:@[\w:-]+(?:='[^']*')?|[\w.-]+|\d+)\])*$"  # predicates
+)
+
+
 def xpath_to_et(xpath: str) -> str:
     """Translate the leading ``//`` of an absolute-descendant XPath to
-    ElementTree's ``.//``. The supported grammar is ElementTree's
-    XPath subset (tag steps, ``*``, ``[@attr='v']``, positional
-    predicates) — covers the reference's configs; richer axes raise."""
-    if xpath.startswith("//"):
-        return "." + xpath
+    ElementTree's ``.//`` and VALIDATE against the supported grammar:
+    tag steps, ``*``, ``//`` descendant, ``[@attr]``, ``[@attr='v']``,
+    ``[tag]`` and positional ``[N]`` predicates (ElementTree's XPath
+    subset — covers the reference's configs, extractors.py:231-285).
+
+    Anything richer (functions like ``contains()``, axes like
+    ``following-sibling::``, ``text()``/``@attr`` selection, unions)
+    raises ValueError loudly instead of silently matching nothing —
+    a reference user's exotic config fails at build time, not with
+    empty fields."""
+    et_path = xpath
     if xpath.startswith("/"):
-        return "." + xpath
-    return xpath
+        et_path = "." + (xpath if xpath.startswith("//") else xpath)
+    check = et_path[3:] if et_path.startswith(".//") else et_path.lstrip("./")
+    for step in check.split("/"):
+        if step == "":  # interior '//' (descendant-or-self) is fine
+            continue
+        if not _XPATH_STEP.match(step):
+            raise ValueError(
+                f"unsupported XPath step {step!r} in {xpath!r}: supported "
+                "subset is tag steps, '*', '//', '[@attr]', \"[@attr='v']\", "
+                "'[tag]', '[N]' (ElementTree grammar). For richer XPath "
+                "(functions, axes, text()/@attr selection, unions) plug in "
+                "a custom Extractor subclass."
+            )
+    return et_path
 
 
 def find_nodes(root: ET.Element, xpath: str) -> list[ET.Element]:

@@ -108,9 +108,16 @@ _PLAN_INPUT_SCHEMA = pa.schema(
 SANDBOX_SITE_HOSTS = frozenset(f"h{n}.example.org" for n in range(41))
 
 
+# scheduling chunk: bounds the scheduler's own working set when one
+# shard's group is huge; ordering/politeness then apply per chunk
+# (matches the reference's arrival-order semantics; oracle-scale
+# groups are far below this, so oracle exactness is unaffected)
+SCHEDULE_CHUNK_ROWS = 500_000
+
+
 def scheduled_frontier(
     sf_dir: str,
-    num_shards: int = 8,
+    num_shards: int | None = 8,
     checkpoint_dir: str | None = None,
     seen_mode: str = "exact",
     robots_map: dict | None = None,
@@ -133,7 +140,21 @@ def scheduled_frontier(
     (status='purge') — the anti-join costs no extra exchange.
     Returns every admitted row with status/fetch_order/planned_offset
     (the crawl plan + lineage in one table).
+
+    ``num_shards=None`` sizes the shard count from the input row
+    count (auto_num_shards: ~2.5M urls/shard, the 4k-shards-at-10^10
+    rule as code).
     """
+    if num_shards is None:
+        import pyarrow.parquet as pqm
+
+        n_docs = pqm.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+        # frontier + index_state both ride the shuffle
+        from ..state.frontier import auto_num_shards
+
+        num_shards = auto_num_shards(2 * n_docs * max(1, replicate))
 
     def frontier_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -216,8 +237,22 @@ def scheduled_frontier(
         shard.load_checkpoint()
         # numpy scheduling path (equivalence-tested vs the sequential
         # loop in tests/test_state.py); self-falls-back to schedule()
-        # for multi-retry batches where the closed form doesn't hold
-        out = shard.schedule_vectorized(frontier_rows, n_429_for=sandbox_n_429)
+        # for multi-retry batches where the closed form doesn't hold.
+        # Oversized groups stream through the shard state in chunks so
+        # scheduling never needs whole-group-sized numpy temporaries.
+        if frontier_rows.num_rows > SCHEDULE_CHUNK_ROWS:
+            out = pa.concat_tables(
+                shard.schedule_vectorized(
+                    frontier_rows.slice(off, SCHEDULE_CHUNK_ROWS),
+                    n_429_for=sandbox_n_429,
+                )
+                for off in range(0, frontier_rows.num_rows,
+                                 SCHEDULE_CHUNK_ROWS)
+            )
+        else:
+            out = shard.schedule_vectorized(
+                frontier_rows, n_429_for=sandbox_n_429
+            )
         shard.checkpoint()
 
         if emit_purge:
@@ -435,7 +470,7 @@ class ExtractOrQuarantine:
 def crawl(
     sf_dir: str,
     out_dir: str,
-    num_shards: int = 8,
+    num_shards: int | None = 8,
     checkpoint_dir: str | None = None,
     seen_mode: str = "exact",
     single_url: str | None = None,

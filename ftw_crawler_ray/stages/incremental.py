@@ -53,16 +53,20 @@ def join_index_state(
     )
 
     if broadcast:
-        lookup_ref = ray.put(
-            dict(
-                zip(
-                    *[
-                        index_state.to_pandas()[c].tolist()
-                        for c in ("url", "last_modified")
-                    ]
+        # Build the lookup dict in a WORKER task from the streamed
+        # index_state — the driver only ever holds the ObjectRef
+        # (never materializes a corpus-scaled table).
+        @ray.remote
+        def _build_lookup(refs):
+            out: dict = {}
+            for batch in refs.iter_batches(batch_format="pyarrow"):
+                out.update(
+                    zip(batch["url"].to_pylist(),
+                        batch["last_modified"].to_pylist())
                 )
-            )
-        )
+            return out
+
+        lookup_ref = _build_lookup.remote(index_state)
 
         def add_last_indexed(batch: pa.Table) -> pa.Table:
             lookup = ray.get(lookup_ref)

@@ -63,6 +63,22 @@ def read_seen_set(checkpoint_dir: str) -> set[str]:
     return seen
 
 
+# One shard's group must fit a worker: target ~2.5M urls per shard
+# (the O(4k)-shards-at-10^10-urls rule, codified).
+URLS_PER_SHARD = 2_500_000
+
+
+def auto_num_shards(n_urls: int, urls_per_shard: int = URLS_PER_SHARD,
+                    lo: int = 8, hi: int = 65_536) -> int:
+    """Data-sized shard count: ceil(n / urls_per_shard), clamped.
+    At 10^10 urls this yields 4,000 shards ≈ 2.5M rows ≈ one worker's
+    memory per scheduling group; small runs stay at ``lo`` so every
+    core still gets a group."""
+    import math
+
+    return max(lo, min(hi, math.ceil(max(1, n_urls) / urls_per_shard)))
+
+
 def commit_checkpoints(checkpoint_dir: str, run_id: str) -> int:
     """Promote this run's staged shard checkpoints onto the committed
     paths; returns the number committed. Called AFTER the plan Parquet

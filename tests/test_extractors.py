@@ -149,6 +149,22 @@ class TestXPath:
             == "B\xe4r"
         )
 
+    def test_unsupported_xpath_raises_loudly(self):
+        """lxml-only syntax (functions, axes, text()/@attr selection)
+        must fail with a clear error naming the supported subset —
+        never silently match nothing (a reference user's exotic
+        config breaks visibly at extract time)."""
+        from ftw_crawler_ray.functions.markup import xpath_to_et
+
+        for bad in ("//div[contains(@class,'x')]", "//a|//b", "//p/text()",
+                    "//meta/@content", "//div/following-sibling::p",
+                    "//p[last()]"):
+            with pytest.raises(ValueError, match="supported"):
+                xpath_to_et(bad)
+        # the canonical supported shapes still translate
+        assert xpath_to_et("//ol/li[2]") == ".//ol/li[2]"
+        assert xpath_to_et("//div[@id='content']/h1") == ".//div[@id='content']/h1"
+
 
 class TestTitleCascade:
     # reference test_extractors.py:252-293

@@ -1,0 +1,160 @@
+"""HttpFetchActor against a loopback http.server — mirrors the
+reference's fetcher facts (tests/test_fetcher.py:29-205): fetch+
+content-type strip, non-200 raises, redirect raises, 429 sleep-retry
+with doubling only on consecutive 429 (0.1s then 0.2s), NotModified
+short-circuit and the HEAD last-modified fallback. No Ray session
+needed: the actor is a plain callable class."""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow as pa
+import pytest
+
+from ftw_crawler_ray.exceptions import (
+    AttemptedRedirect,
+    FetchingError,
+    NotModified,
+)
+from ftw_crawler_ray.pipelines.fetch_http import HttpFetchActor
+
+OLD = datetime(2020, 1, 1, tzinfo=timezone.utc)
+NEW = datetime(2024, 6, 1, tzinfo=timezone.utc)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    hits = defaultdict(int)
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _respond(self, code, body=b"", headers=()):
+        self.send_response(code)
+        for k, v in headers:
+            self.send_header(k, v)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
+    def do_HEAD(self):
+        if self.path == "/head-old":
+            self._respond(200, headers=[("Last-Modified",
+                                         "2021-01-01T00:00:00Z")])
+        elif self.path == "/head-new":
+            self._respond(200, headers=[("Last-Modified",
+                                         "2025-01-01T00:00:00Z")])
+        else:
+            self._respond(200)
+
+    def do_GET(self):
+        self.hits[self.path] += 1
+        if self.path == "/redirect":
+            self._respond(301, headers=[("Location", "/ok")])
+        elif self.path == "/missing":
+            self._respond(404, b"nope")
+        elif self.path == "/flaky":
+            if self.hits[self.path] <= 2:
+                self._respond(429)
+            else:
+                self._respond(200, b"RECOVERED",
+                              [("Content-Type", "text/html")])
+        else:
+            self._respond(200, b"MARKER",
+                          [("Content-Type", "text/html; charset=utf-8")])
+
+
+@pytest.fixture(scope="module")
+def server():
+    _Handler.hits = defaultdict(int)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+class TestFetchOne:
+    def test_fetches_and_strips_charset(self, server):
+        actor = HttpFetchActor()
+        body, ctype = actor.fetch_one(f"{server}/ok")
+        assert body == b"MARKER"
+        assert ctype == "text/html"  # charset stripped
+
+    def test_non_200_raises_fetching_error(self, server):
+        with pytest.raises(FetchingError):
+            HttpFetchActor().fetch_one(f"{server}/missing")
+
+    def test_redirect_forbidden(self, server):
+        with pytest.raises(AttemptedRedirect):
+            HttpFetchActor().fetch_one(f"{server}/redirect")
+
+    def test_429_sleeps_retries_and_doubles_on_consecutive(self, server,
+                                                           monkeypatch):
+        # reference facts: two 429s then 200 → sleeps 0.1 then 0.2,
+        # sleeptime persists at 0.2 for the host
+        import ftw_crawler_ray.pipelines.fetch_http as mod
+
+        sleeps = []
+        monkeypatch.setattr(mod.time, "sleep", sleeps.append)
+        actor = HttpFetchActor()
+        body, _ = actor.fetch_one(f"{server}/flaky")
+        assert body == b"RECOVERED"
+        assert sleeps == [pytest.approx(0.1), pytest.approx(0.2)]
+        assert actor.sleeptimes["127.0.0.1"] == pytest.approx(0.2)
+
+    def test_not_modified_short_circuit_via_lastmod(self, server):
+        actor = HttpFetchActor()
+        with pytest.raises(NotModified):
+            actor.fetch_one(f"{server}/ok", lastmod="2020-06-01", last_indexed=NEW)
+        # force=True ignores incrementality (reference options.force)
+        body, _ = HttpFetchActor(force=True).fetch_one(
+            f"{server}/ok", lastmod="2020-06-01", last_indexed=NEW
+        )
+        assert body == b"MARKER"
+
+    def test_head_fallback_old_header_not_modified(self, server):
+        actor = HttpFetchActor()
+        with pytest.raises(NotModified):
+            actor.fetch_one(f"{server}/head-old", last_indexed=NEW)
+
+    def test_head_fallback_new_header_fetches(self, server):
+        body, _ = HttpFetchActor().fetch_one(f"{server}/head-new",
+                                             last_indexed=NEW)
+        assert body == b"MARKER"
+
+    def test_head_fallback_no_header_fetches(self, server):
+        body, _ = HttpFetchActor().fetch_one(f"{server}/ok", last_indexed=OLD)
+        assert body == b"MARKER"
+
+    def test_never_indexed_always_modified(self, server):
+        assert HttpFetchActor().is_modified(f"{server}/ok", None, None)
+
+
+class TestBatchContract:
+    def test_batch_rows_quarantine_by_status(self, server):
+        actor = HttpFetchActor()
+        batch = pa.table(
+            {
+                "url": pa.array(
+                    [f"{server}/ok", f"{server}/redirect", f"{server}/missing"],
+                    pa.string(),
+                ),
+                "lastmod": pa.array([None] * 3, pa.string()),
+                "shard": pa.array([0, 0, 0], pa.int32()),
+                "seq": pa.array([1, 2, 3], pa.int64()),
+                "fetch_order": pa.array([0, 1, 2], pa.int64()),
+            }
+        )
+        out = actor(batch)
+        assert out["fetch_status"].to_pylist() == [
+            "fetched", "redirect", "fetch_error"
+        ]
+        assert out["html"].to_pylist()[0] == b"MARKER"
+        assert out["html"].to_pylist()[1] is None
+        assert out["content_type"].to_pylist()[0] == "text/html"
+        assert out["site_id"].to_pylist() == ["127.0.0.1"] * 3

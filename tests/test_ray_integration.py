@@ -125,6 +125,23 @@ class TestSimilarityPipelines:
         assert (lsh["sim"] >= 0.4).all()
 
 
+class TestBroadcastJoin:
+    def test_broadcast_equals_shuffle_join(self, ray_session):
+        """J1 broadcast variant (lookup built in a worker task) must
+        equal the hash-shuffle join row for row."""
+        import pandas as pd
+
+        from ftw_crawler_ray.stages.incremental import join_index_state
+
+        a = join_index_state(SF, broadcast=False).to_pandas().sort_values(
+            "url", ignore_index=True
+        )
+        b = join_index_state(SF, broadcast=True).to_pandas().sort_values(
+            "url", ignore_index=True
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns])
+
+
 class TestDedupPipelines:
     def test_connected_components_matches_union_find(self, ray_session):
         """Distributed min-label propagation vs a local union-find on

@@ -224,6 +224,49 @@ class TestFrontierShardCheckpoint:
         assert "http://a.org/1" in resumed.seen
 
 
+class TestAutoShards:
+    def test_rule_of_4k_at_1e10(self):
+        from ftw_crawler_ray.state.frontier import auto_num_shards
+
+        assert auto_num_shards(10**10) == 4000
+        assert auto_num_shards(500) == 8          # floor for small runs
+        assert auto_num_shards(10**13) == 65_536  # clamped
+        assert auto_num_shards(3 * 10**6) == 8
+        assert auto_num_shards(10**8) == 40
+
+    def test_chunked_schedule_matches_whole_group(self):
+        """Chunked scheduling through the same shard state must equal
+        one whole-group call when host rows don't straddle chunks
+        (and stays consistent on dedup/seen across chunks)."""
+        import pyarrow as pa
+
+        from ftw_crawler_ray.sources.pages import frontier_batch
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        fr = frontier_batch(t)
+        # sort by host so chunk boundary falls between hosts
+        order = pa.compute.sort_indices(fr, sort_keys=[("site_id", "ascending")])
+        fr = fr.take(order)
+        # find a boundary between two hosts
+        sids = fr["site_id"].to_pylist()
+        cut = next(i for i in range(1, len(sids)) if sids[i] != sids[i - 1])
+
+        a = FrontierShard(0)
+        whole = a.schedule_vectorized(fr)
+        b = FrontierShard(0)
+        chunked = pa.concat_tables(
+            [b.schedule_vectorized(fr.slice(0, cut)),
+             b.schedule_vectorized(fr.slice(cut))]
+        )
+        assert whole["status"].to_pylist() == chunked["status"].to_pylist()
+        assert whole["fetch_order"].to_pylist() == chunked["fetch_order"].to_pylist()
+        assert b.n_seen == a.n_seen and b.n_scheduled == a.n_scheduled
+
+
 class TestVectorizedScheduleEquivalence:
     def test_matches_sequential_path(self):
         """schedule_vectorized is a numpy rendering of schedule —
