@@ -122,7 +122,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return docs.map_batches(LangId, batch_format="pyarrow", batch_size=None, concurrency=2).select_columns(
+    return docs.map_batches(LangId, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)).select_columns(
         ["doc_id", "lang", "lang_pred"]
     )
 
@@ -178,39 +178,36 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None) -> ray.data.D
     return docs.map_batches(mix, batch_format="pyarrow", batch_size=None)
 
 
-def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
-    """Winnowing-style document fingerprint: min rolling-window hash
-    over word 3-grams (one 64-bit fingerprint per doc — cheap
-    near-dup pre-filter / lineage id)."""
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+class Fingerprinter:
+    """Winnowing-style document fingerprint: min hash per
+    ``window``-sized block of word 3-gram hashes, digested to one
+    64-bit id per doc (cheap near-dup pre-filter / lineage id).
+    Actor-pool stage: the gram hashes come from the shared cached
+    word-hash + vectorized rolling combine (stages/dedup.shingles),
+    and the per-block minima reduce in numpy — no per-gram blake2b."""
 
-    def fp(batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch["text"].to_pylist():
-            words = t.split()
-            grams = [
-                " ".join(words[i : i + 3]) for i in range(max(1, len(words) - 2))
-            ]
-            hashes = [
-                int.from_bytes(
-                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+    def __init__(self, window: int = 8):
+        self.window = window
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import MinHasher, shingles
+
+        if len(self.cache) > MinHasher._CACHE_LIMIT:
+            self.cache.clear()
+        out = np.empty(batch.num_rows, dtype=np.uint64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            hashes = shingles(t, 3, self.cache)
+            n = len(hashes)
+            pad = (-n) % self.window
+            if pad:
+                hashes = np.concatenate(
+                    [hashes, np.full(pad, np.iinfo(np.uint64).max, np.uint64)]
                 )
-                for g in grams
-            ]
-            if not hashes:
-                out.append(0)
-                continue
-            mins = [
-                min(hashes[i : i + window])
-                for i in range(0, len(hashes), window)
-            ]
-            out.append(
+            mins = hashes.reshape(-1, self.window).min(axis=1)
+            out[i] = np.uint64(
                 int.from_bytes(
-                    hashlib.blake2b(
-                        np.array(mins, dtype=np.uint64).tobytes(), digest_size=8
-                    ).digest(),
+                    hashlib.blake2b(mins.tobytes(), digest_size=8).digest(),
                     "big",
                 )
             )
@@ -218,4 +215,12 @@ def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
             {"doc_id": batch["doc_id"], "fingerprint": pa.array(out, pa.uint64())}
         )
 
-    return docs.map_batches(fp, batch_format="pyarrow", batch_size=None)
+
+def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(
+        Fingerprinter, fn_constructor_kwargs={"window": window},
+        batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
+    )
