@@ -347,6 +347,17 @@ def _q_lsh_near_dups(sf_dir: str):
     return lsh_near_dups(sf_dir, threshold=0.4, n_bands=64, planes_per_band=4)
 
 
+def _q_ivf_topk(sf_dir: str):
+    # exhaustive probe (n_probe = n_centroids): the IVF build/probe
+    # machinery runs end-to-end (train → partitioned index write →
+    # pruned file read → per-cell scan) and the result provably
+    # equals exact brute force, so the ann_topk SQL oracle applies.
+    # Approximate recall (n_probe < n_centroids) is pinned in pytest.
+    from ftw_crawler_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(sf_dir, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=16)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from ftw_crawler_ray.stages.dedup import simhash_near_dups
 
@@ -397,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "sessionize": _q_sessionize,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "near_dups": _q_near_dups,
         "lsh_near_dups": _q_lsh_near_dups,
         "minhash_verified": _q_minhash_verified,
@@ -655,6 +667,24 @@ FROM sessions GROUP BY user_id, session_id
         # element type; float32 would disagree with the engine's
         # float64 kernel at the 6dp rounding boundary
         "ann_topk": """
+WITH q AS (
+    SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+    FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)
+),
+sims AS (
+    SELECT q.qid AS query_id, e.vec_id,
+           round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS sim
+    FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) - 1 AS rank
+    FROM sims
+)
+SELECT query_id, vec_id, rank, sim FROM ranked WHERE rank < 10
+""",
+        # exhaustive-probe IVF == exact brute force (see _q_ivf_topk)
+        "ivf_topk": """
 WITH q AS (
     SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
     FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)

@@ -157,8 +157,16 @@ def _run_scaling() -> dict:
         # caller pinned a replicate factor explicitly
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_QUERIES="crawl", GRAFT_CRAWL_RUNS="1")
-        
-        env["GRAFT_REPLICATE"] = os.environ.get("GRAFT_REPLICATE", "150")
+        # scaling runs use a 3x workload (same input at BOTH levels):
+        # at replicate=150 the 32-cpu crawl finishes in ~11 s, of
+        # which ~7 s is fixed stage/actor/shuffle startup that no
+        # cluster size can parallelize — the ratio then measures
+        # overhead, not scaling. 450 pushes runtimes to ~18/50 s so
+        # the measured quantity is the streaming throughput itself.
+        env["GRAFT_REPLICATE"] = os.environ.get(
+            "GRAFT_SCALING_REPLICATE",
+            os.environ.get("GRAFT_REPLICATE", "450"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -304,3 +304,165 @@ def lsh_near_dups(
         )
 
     return with_both.map_batches(verify, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the prebuilt-index scale path
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+def _train_centroids(path: str, n_centroids: int, iters: int, seed: int):
+    """Deterministic coarse quantizer: seeded init + fixed Lloyd
+    iteration count over the (sampled) corpus, trained in a WORKER
+    task. At 100 TB the sample is a hash-filtered read; here the
+    table is the sample."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    mat = _normalize(np.array(t["embedding"].to_pylist(), dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        sims = mat @ centroids.T                      # cosine on unit vectors
+        assign = sims.argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_centroids: int = 16,
+                    iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Assign every vector to its nearest centroid and write the
+    corpus as Parquet PARTITIONED BY cell (plus a centroids file):
+    a query then reads only its probed cells' partitions — the read
+    itself prunes, which is the property that matters at 10^9
+    vectors. Returns the centroid matrix."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    centroids = ray.get(
+        _train_centroids.remote(
+            f"{sf_dir}/embeddings.parquet", n_centroids, iters, seed
+        )
+    )
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, emb = _matrix(batch)
+        cells = (_normalize(emb) @ cents.T).argmax(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": batch["embedding"],
+                "cell": pa.array(cells.astype(np.int32), pa.int32()),
+            }
+        )
+
+    _read_embeddings(sf_dir).map_batches(
+        assign, batch_format="pyarrow", batch_size=None
+    ).write_parquet(index_dir, partition_cols=["cell"])
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"centroid": [row.tolist() for row in centroids]}),
+        os.path.join(index_dir, "_centroids.parquet"),
+    )
+    return centroids
+
+
+def ivf_topk(sf_dir: str, query_ids: list[int], k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, iters: int = 5,
+             seed: int = 42, index_dir: str | None = None) -> ray.data.Dataset:
+    """Approximate cosine top-k via the IVF index: per query, read
+    ONLY the ``n_probe`` nearest cells' partitions and brute-force
+    within (exact math on the probed subset). Output contract matches
+    ``ann_topk``; recall is test-pinned against the exact twin.
+    ``index_dir=None`` builds a fresh index under /tmp (cached per
+    (sf_dir, params) so repeated driver calls reuse it)."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow.parquet as pq
+
+    if index_dir is None:
+        tag = _hl.md5(
+            f"{os.path.abspath(sf_dir)}|{n_centroids}|{iters}|{seed}".encode()
+        ).hexdigest()[:12]
+        index_dir = f"/tmp/ftw_crawler_ray_ivf/{tag}"
+    cent_path = os.path.join(index_dir, "_centroids.parquet")
+    if not os.path.exists(cent_path):
+        build_ivf_index(sf_dir, index_dir, n_centroids, iters, seed)
+    centroids = np.array(
+        pq.read_table(cent_path)["centroid"].to_pylist(), dtype=np.float64
+    )
+
+    qids, qmat = load_query_matrix(sf_dir, query_ids)
+    probe_cells = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    cells_needed = sorted({int(c) for row in probe_cells for c in row})
+    q_ref = ray.put((qids, qmat, {int(q): set(map(int, row))
+                                  for q, row in zip(qids, probe_cells)}))
+
+    # partition-pruned read: only the probed cells' files leave
+    # storage (explicit file list — Ray's read_parquet wants files,
+    # not a mixed list of hive directories)
+    import glob as _glob
+
+    files = [
+        f
+        for c in cells_needed
+        for f in sorted(_glob.glob(f"{index_dir}/cell={c}/*.parquet"))
+    ]
+    index = ray.data.read_parquet(files)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, probes = ray.get(q_ref)
+        ids, emb = _matrix(batch)
+        emb = _normalize(emb)
+        # cell of this partition's rows (hive column absent in batch →
+        # recompute against centroids; cheap: one small matmul)
+        cells = (emb @ centroids.T).argmax(axis=1)
+        sims = np.round(emb @ qmat_.T, 6)
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids_):
+            mask = np.isin(cells, list(probes[int(qid)]))
+            if not mask.any():
+                continue
+            col = sims[mask, j]
+            sub_ids = ids[mask]
+            order = np.lexsort((sub_ids, -col))[: min(k, mask.sum())]
+            out_q.extend([qid] * len(order))
+            out_v.extend(sub_ids[order])
+            out_s.extend(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        sims = group["sim"].to_numpy()
+        order = np.lexsort((ids, -sims))[:k]
+        qid = group["query_id"][0].as_py()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "rank": pa.array(np.arange(len(order)), pa.int64()),
+                "sim": pa.array(sims[order], pa.float64()),
+            }
+        )
+
+    candidates = index.map_batches(
+        local_topk, batch_format="pyarrow", batch_size=None
+    )
+    return candidates.groupby("query_id").map_groups(
+        finalize, batch_format="pyarrow"
+    )

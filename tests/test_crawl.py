@@ -129,6 +129,28 @@ class TestResume:
         assert s2["fetch_counts"] == {}
 
 
+class TestSingleUrlMode:
+    def test_purge_scoped_to_target_site(self, ray_session, tmp_path):
+        """reference main.py:76-77: single-url mode skips entire
+        non-matching SITES before crawl_site, so purge tombstones are
+        written only for the site owning the target url."""
+        import pyarrow.dataset as pads
+
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        out = tmp_path / "single"
+        target = "http://h1.example.org/docs/page-1"
+        s = crawl(SF, out_dir=str(out), num_shards=4, single_url=target)
+        plan = pads.dataset(str(out / "plan")).to_table(
+            columns=["url", "site_id", "status"]
+        ).to_pylist()
+        non_purge = [r for r in plan if r["status"] != "purge"]
+        assert [r["url"] for r in non_purge] == [target]
+        purge_sites = {r["site_id"] for r in plan if r["status"] == "purge"}
+        assert purge_sites <= {"h1.example.org"}
+        assert s["fetch_counts"].get("fetched", 0) == 1
+
+
 class TestInShardPurgeEquivalence:
     def test_plan_tombstones_match_antijoin(self, ray_session, tmp_path):
         """J2 via the shard shuffle must equal the standalone

@@ -106,6 +106,26 @@ class TestSimilarityPipelines:
         assert len(df) == 500
         assert df["bucket"].between(0, 2**16 - 1).all()
 
+    def test_ivf_topk_recall_and_exhaustive_equality(self, ray_session):
+        """IVF probe path: exhaustive probe equals the exact scan
+        exactly; approximate probe (8/16 cells) holds the pinned
+        recall on the (near-uniform) synthetic vectors."""
+        from ftw_crawler_ray.stages.similarity import ann_topk, ivf_topk
+
+        qs = [0, 1, 2, 3, 4]
+        exact = ann_topk(SF, qs, k=10).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        full = ivf_topk(SF, qs, k=10, n_probe=16).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        assert exact.equals(full[exact.columns])
+
+        approx = ivf_topk(SF, qs, k=10, n_probe=8).to_pandas()
+        es = set(zip(exact.query_id, exact.vec_id))
+        as_ = set(zip(approx.query_id, approx.vec_id))
+        assert len(es & as_) / len(es) >= 0.8
+
     def test_lsh_near_dups_matches_brute_force(self, ray_session):
         """Bucketed LSH + exact verify vs the all-pairs twin: at the
         driver-pinned parameters recall is 1.0 on this corpus and
