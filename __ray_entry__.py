@@ -50,6 +50,31 @@ SQL_UID = (
     "substr(md5({u}), 21, 12)"
 )
 
+# word-5-gram shingle sets + pairwise intersection counts — shared by
+# the minhash_verified and minhash_dedup oracles (exact re-derivation
+# of the engine's shingling: split on \s+, drop empties, 5-gram
+# join-by-space, whole-text gram when <5 words)
+SQL_MINHASH_GRAMS = r"""words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+           END AS gs
+    FROM words
+),
+sets AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+    FROM sets a JOIN sets b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)"""
+
 SQL_INDEX_STATE = r"""
 index_state AS (
     SELECT u.url,
@@ -728,33 +753,45 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         # (collision probability ~2^-64); LSH banding at 64 perms /
         # 16 bands has per-pair miss ~2e-4 at j=0.8 and recall 1.0
         # on this corpus, verification is exact
-        "minhash_verified": r"""
-WITH words AS (
-    SELECT doc_id,
-           list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
-    FROM documents
-),
-grams AS (
-    SELECT doc_id,
-           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-                ELSE list_transform(range(1, len(w) - 3),
-                                    i -> array_to_string(w[i:i+4], ' '))
-           END AS gs
-    FROM words
-),
-sets AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
-sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
-inter AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
-    FROM sets a JOIN sets b ON a.gram = b.gram AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
-)
+        "minhash_verified": f"""
+WITH {SQL_MINHASH_GRAMS}
 SELECT doc_a, doc_b,
        round(ninter * 1.0 / (sa.n + sb.n - ninter), 6) AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = inter.doc_a
 JOIN sizes sb ON sb.doc_id = inter.doc_b
 WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.8
+""",
+        # connected components of the verified-pair graph via
+        # recursive reachability: cluster_id = min doc_id reachable —
+        # the SQL twin of the engine's distributed min-label
+        # propagation (stages/dedup.connected_components)
+        "minhash_dedup": f"""
+WITH RECURSIVE {SQL_MINHASH_GRAMS},
+verified AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM verified
+    UNION ALL SELECT doc_b, doc_a FROM verified
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+""",
+        # FrameSampler explode plumbing: every 2nd of the 8 fake
+        # frames per video → frame_idx {0,2,4,6} per media row (the
+        # frame bytes themselves are RNG-derived, so the driver query
+        # projects to the SQL-derivable columns)
+        "sampled_frames": """
+SELECT doc_id AS media_id, unnest([0, 2, 4, 6]) AS frame_idx
+FROM documents
 """,
         # stopword-profile language id: argmax of per-language stopword
         # hits, ties resolved en > de > fr (the engine's dict order

@@ -1,11 +1,24 @@
 """Example user config — the config-as-python-file surface
-(reference tests/assets/basic_config.py:41-120 shape; loaded with
-``--config examples/config_example.py`` or
+(loaded with ``--config examples/config_example.py`` or
 ``ftw_crawler_ray.config.load_config``).
 
 A reference user ports their config by changing the import lines:
 Site/Field/Config and every extractor keep their names and
-signatures.
+signatures. The 20-field list below is the canonical output schema
+the engine replicates (SURVEY.md §1.5) — field names and
+extractor pairings are the spec, not a style choice.
+
+Two things this example shows beyond the canonical schema:
+
+- a CUSTOM extractor plugin (``WordCountExtractor``): subclass,
+  implement ``extract_value(resource_info)``, use it in a ``Field``
+  — identical plugin surface to the reference, and the engine's
+  batch path picks it up automatically via the row-API bridge.
+- production seams: swap the engine's converter for
+  ``DispatchConverter(binary=TikaConverter("http://tika:9998"))`` to
+  convert PDFs/office docs, and fetch through
+  ``pipelines.fetch_http.HttpFetchActor`` instead of the sandbox
+  corpus actor. Neither changes this config file.
 """
 
 from datetime import datetime
@@ -25,10 +38,22 @@ from ftw_crawler_ray.extractors import (
     SlugExtractor,
     SnippetTextExtractor,
     TargetURLExtractor,
+    TextExtractor,
     TitleExtractor,
     UIDExtractor,
     URLExtractor,
 )
+
+
+class WordCountExtractor(TextExtractor):
+    """Custom plugin demo: whitespace word count of the converted
+    plain text (an extra quality signal a training-data pipeline
+    might index alongside the document). Subclassing TextExtractor
+    declares WHAT the extractor consumes — the engine type-checks
+    extractor bases exactly like the reference does."""
+
+    def extract_value(self, resource_info):
+        return len((resource_info.text or "").split())
 
 PORTAL_TYPE_MAPPING = {
     "text/html": "ContentPage",
@@ -85,5 +110,8 @@ CONFIG = Config(
         Field("Title", extractor=TitleExtractor()),
         Field("topics", extractor=KeywordsExtractor(), multivalued=True),
         Field("UID", extractor=UIDExtractor(), required=True),
+        # custom plugin field (not part of the canonical 20 — shows
+        # the user-extension surface; see WordCountExtractor above)
+        Field("word_count", extractor=WordCountExtractor(), type_=int),
     ],
 )

@@ -141,3 +141,36 @@ class TestQuarantine:
         assert out[0]["_error"] is None and out[0]["maybe"] == "ok"
         assert out[1]["_error"] is not None and "boom" in out[1]["_error"]
         assert out[1]["UID"] is None
+
+
+class TestExampleConfig:
+    def test_loads_and_extracts_with_custom_plugin(self):
+        """examples/config_example.py is the user-facing parity demo:
+        it must load via load_config and extract a row end-to-end,
+        including its custom WordCountExtractor plugin field."""
+        import pyarrow as pa
+
+        from ftw_crawler_ray.config import load_config
+        from ftw_crawler_ray.engine import ExtractionEngine
+
+        config = load_config("/root/repo/examples/config_example.py")
+        assert config.get_field("UID").required
+        engine = ExtractionEngine(config, crawl_ts=None,
+                                  keep_input_columns=("url",))
+        batch = pa.table(
+            {
+                "url": pa.array(["http://h0.example.org/docs/page-7"]),
+                "html": pa.array([b"<html><body>eins zwei drei</body></html>"],
+                                 pa.binary()),
+                "text": pa.array(["eins zwei drei"], pa.string()),
+                "content_type": pa.array(["text/html"]),
+                "site_id": pa.array(["h0.example.org"]),
+                "doc_id": pa.array([7], pa.int64()),
+            }
+        )
+        out = engine(batch)
+        row = {c: out[c][0].as_py() for c in out.column_names}
+        assert row["word_count"] == 3          # the custom plugin ran
+        assert row["SearchableText"] == "eins zwei drei"
+        assert row["portal_type"] == "ContentPage"
+        assert row["object_type"] == "CONTENT_PAGE"
