@@ -402,10 +402,19 @@ def _q_image_features(sf_dir: str):
 
 
 def _q_sampled_frames(sf_dir: str):
+    import pyarrow as pa
+
     from ftw_crawler_ray.stages.multimodal import sampled_frames
 
-    return sampled_frames(sf_dir).select_columns(
-        ["media_id", "frame_idx"]
+    # int64 on both sides: the driver's value hash is type-sensitive
+    return sampled_frames(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "frame_idx": t["frame_idx"].combine_chunks().cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -790,7 +799,8 @@ SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
         # frame bytes themselves are RNG-derived, so the driver query
         # projects to the SQL-derivable columns)
         "sampled_frames": """
-SELECT doc_id AS media_id, unnest([0, 2, 4, 6]) AS frame_idx
+SELECT doc_id AS media_id,
+       CAST(unnest([0, 2, 4, 6]) AS BIGINT) AS frame_idx
 FROM documents
 """,
         # stopword-profile language id: argmax of per-language stopword

@@ -188,7 +188,26 @@ def _run_scaling() -> dict:
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     calib = _compute_calibration(lo, hi)
+    # second N-vs-4N pair with HEADROOM at both levels (4 vs 16 on a
+    # 32-core box): at num_cpus=32 Ray's raylet/plasma/driver threads
+    # oversubscribe the machine while at 8 they ride free on idle
+    # cores — an artifact a real N→4N cluster (per-node daemons, own
+    # cores) does not have. The headroom pair isolates the ENGINE's
+    # parallel scalability from that single-box artifact.
+    pair2 = {}
+    if os.environ.get("GRAFT_SCALING_HEADROOM_PAIR", "1") == "1":
+        lo2, hi2 = 4, 16
+        runs_lo2 = [run(lo2) for _ in range(max(1, reps - 1))]
+        runs_hi2 = [run(hi2) for _ in range(max(1, reps - 1))]
+        t_lo2 = min(r["value"] for r in runs_lo2)
+        t_hi2 = min(r["value"] for r in runs_hi2)
+        pair2 = {
+            "cpus_lo2": lo2, "cpus_hi2": hi2,
+            "sec_lo2": t_lo2, "sec_hi2": t_hi2,
+            "efficiency_headroom_pair": round((t_lo2 / t_hi2) / (hi2 / lo2), 3),
+        }
     return {
+        **pair2,
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",

@@ -422,7 +422,7 @@ class FetchActor:
 
 
 def fetch_pool(scheduled: ray.data.Dataset, sf_dir: str,
-               concurrency=(2, 16), batch_size: int = 2048) -> ray.data.Dataset:
+               concurrency=(2, 64), batch_size: int = 2048) -> ray.data.Dataset:
     """Plan → FetchActor pool → resource rows (no shuffle)."""
 
     def scheduled_only(batch: pa.Table) -> pa.Table:
