@@ -56,6 +56,15 @@ def main(argv=None) -> int:
                          default="exact")
     p_crawl.add_argument("--no-purge", action="store_true")
     p_crawl.add_argument("--num-cpus", type=int, default=8)
+    p_crawl.add_argument("-f", "--force", action="store_true",
+                         help="crawl even if documents haven't been "
+                              "modified (reference -f/--force)")
+    p_crawl.add_argument("--tika", default=None, metavar="TIKA_URL",
+                         help="Tika JAXRS base URL: convert non-markup "
+                              "content via converters.TikaConverter")
+    p_crawl.add_argument("--solr", default=None, metavar="SOLR_URL",
+                         help="Solr base URL: POST extracted docs and "
+                              "purge deletes after the crawl")
 
     p_extract = sub.add_parser("extract", help="extraction-only pipeline")
     p_extract.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -92,6 +101,11 @@ def main(argv=None) -> int:
         if args.command == "crawl":
             from .pipelines.crawl import crawl
 
+            converter = None
+            if args.tika:
+                from .converters import DispatchConverter, TikaConverter
+
+                converter = DispatchConverter(binary=TikaConverter(args.tika))
             summary = crawl(
                 args.sf_dir,
                 out_dir=args.out,
@@ -100,6 +114,9 @@ def main(argv=None) -> int:
                 seen_mode=args.seen_mode,
                 single_url=args.url,
                 purge=not args.no_purge,
+                force=args.force,
+                converter=converter,
+                solr_url=args.solr,
             )
             print(json.dumps(summary))
         elif args.command == "extract":

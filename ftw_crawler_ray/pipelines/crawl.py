@@ -125,6 +125,7 @@ def scheduled_frontier(
     emit_purge: bool = False,
     site_hosts: frozenset | None = None,
     run_id: str | None = None,
+    force: bool = False,
 ) -> ray.data.Dataset:
     """Frontier ∪ index_state → ONE host-hash shard shuffle →
     per-shard (J1 lookup + is_modified + dedup/robots/order/politeness
@@ -222,9 +223,14 @@ def scheduled_frontier(
         frontier_rows = frontier_rows.drop(
             ["kind", "last_modified"]
         ).append_column("last_indexed", last_indexed)
-        frontier_rows = frontier_rows.filter(
-            pa.array(is_modified_mask(frontier_rows))
-        ).drop(["last_indexed"])
+        if force:
+            # reference -f/--force: crawl even when not modified
+            # (fetcher.py:49-51); dedup/robots still apply
+            frontier_rows = frontier_rows.drop(["last_indexed"])
+        else:
+            frontier_rows = frontier_rows.filter(
+                pa.array(is_modified_mask(frontier_rows))
+            ).drop(["last_indexed"])
 
         shard_id = int(group["shard"][0].as_py())
         shard = FrontierShard(
@@ -475,6 +481,10 @@ def crawl(
     seen_mode: str = "exact",
     single_url: str | None = None,
     purge: bool = True,
+    force: bool = False,
+    converter=None,
+    solr_url: str | None = None,
+    solr_transport_factory=None,
 ) -> dict:
     """Full pipeline; returns the lineage/metrics summary.
 
@@ -518,7 +528,7 @@ def crawl(
     run_id = uuid.uuid4().hex[:12]
     sched = scheduled_frontier(
         sf_dir, num_shards=num_shards, checkpoint_dir=checkpoint_dir,
-        seen_mode=seen_mode, emit_purge=purge, run_id=run_id,
+        seen_mode=seen_mode, emit_purge=purge, run_id=run_id, force=force,
     )
     if single_url is not None:
         # reference main.py:76-77,117-119: non-matching SITES are
@@ -552,7 +562,7 @@ def crawl(
         plan = ray.data.read_parquet(plan_dir)
         fetched = fetch_pool(plan, sf_dir)
         engine = ExtractionEngine(
-            corpus_config(), crawl_ts=CRAWL_TS,
+            corpus_config(), converter=converter, crawl_ts=CRAWL_TS,
             keep_input_columns=("url", "shard", "seq", "fetch_status"),
             strict=True,
         )
@@ -574,6 +584,23 @@ def crawl(
             batch_format="pyarrow", batch_size=None,
         ).write_parquet(f"{out_dir}/index_state")
 
+    n_solr_indexed = 0
+    if solr_url is not None and fetch_counts.get("fetched", 0) > 0:
+        # S9 live indexing: stream the written docs through a
+        # SolrIndexer actor pool (one session per actor, one update
+        # POST per block) — distributed posting, driver holds counts
+        from ..sinks import SolrIndexer
+
+        counts = ray.data.read_parquet(docs_dir).map_batches(
+            lambda t: t.filter(pc.equal(t["fetch_status"], "fetched")),
+            batch_format="pyarrow", batch_size=None,
+        ).map_batches(
+            SolrIndexer,
+            fn_constructor_args=(solr_url, solr_transport_factory),
+            batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        ).to_pandas()
+        n_solr_indexed = int(counts["n"].sum()) if len(counts) else 0
+
     n_purged = 0
     if purge and plan_counts.get("purge", 0) > 0:
         # tombstones come straight from the plan (J2 rode the shard
@@ -594,6 +621,15 @@ def crawl(
             to_tombstones, batch_format="pyarrow", batch_size=None
         ).write_parquet(f"{out_dir}/purged")
         n_purged = plan_counts["purge"]
+        if solr_url is not None:
+            # S10 live deletes (reference purging.py:26-30)
+            from ..sinks import SolrPurger
+
+            ray.data.read_parquet(f"{out_dir}/purged").map_batches(
+                SolrPurger,
+                fn_constructor_args=(solr_url, solr_transport_factory),
+                batch_format="pyarrow", batch_size=512, concurrency=(1, 2),
+            ).count()
 
     if checkpoint_dir:
         write_lineage(checkpoint_dir, f"{out_dir}/lineage")
@@ -602,6 +638,7 @@ def crawl(
         "plan_counts": plan_counts,
         "fetch_counts": fetch_counts,
         "n_extracted": fetch_counts.get("fetched", 0),
+        "n_solr_indexed": n_solr_indexed,
         "n_purged": n_purged,
         "out_dir": out_dir,
         "checkpoint_dir": checkpoint_dir,

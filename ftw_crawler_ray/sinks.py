@@ -113,3 +113,52 @@ def write_solr_payloads(ds, out_dir: str) -> int:
     ).to_pandas()
     total = int(counts["n"].sum())
     return total
+
+
+def requests_transport(timeout: float = 10.0):
+    """HTTP transport for SolrConnector: one requests.Session per
+    transport (build inside an actor's __init__ — sessions don't
+    pickle). Module-level factory so it ships to workers."""
+    import requests
+
+    session = requests.Session()
+
+    def transport(method, url, payload):
+        return session.request(
+            method, url, data=payload,
+            headers={"Content-Type": "application/json"}, timeout=timeout,
+        )
+
+    return transport
+
+
+class SolrIndexer:
+    """Actor-pool sink stage: one connector (+ HTTP session) per
+    actor, one update POST per batch (the reference commits per
+    document, solr.py:35-36 + main.py:105 — batching is the Ray
+    rendering; commit semantics unchanged because update_url carries
+    commit=true)."""
+
+    def __init__(self, solr_url: str, transport_factory=None):
+        factory = transport_factory or requests_transport
+        self.conn = SolrConnector(solr_url, transport=factory())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        docs = batch_to_solr_docs(batch)
+        if docs:
+            self.conn.index(docs)
+        return pa.table({"n": pa.array([len(docs)], pa.int64())})
+
+
+class SolrPurger:
+    """Actor-pool sink stage: delete one uid per tombstone row."""
+
+    def __init__(self, solr_url: str, transport_factory=None):
+        factory = transport_factory or requests_transport
+        self.conn = SolrConnector(solr_url, transport=factory())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uids = batch["uid"].to_pylist()
+        for uid in uids:
+            self.conn.delete(uid)
+        return pa.table({"n": pa.array([len(uids)], pa.int64())})

@@ -151,6 +151,70 @@ class TestSingleUrlMode:
         assert s["fetch_counts"].get("fetched", 0) == 1
 
 
+class TestForceMode:
+    def test_force_skips_is_modified_only(self, ray_session):
+        """reference -f/--force (fetcher.py:49-51): unmodified docs
+        are crawled anyway; dedup and robots still apply."""
+        import pyarrow.compute as pc
+
+        from ftw_crawler_ray.pipelines.crawl import scheduled_frontier
+
+        normal = scheduled_frontier(SF, num_shards=4).to_pandas()
+        forced = scheduled_frontier(SF, num_shards=4, force=True).to_pandas()
+        n_sched = (normal["status"] == "scheduled").sum()
+        f_sched = (forced["status"] == "scheduled").sum()
+        assert n_sched == 375
+        assert len(forced) == 500           # nothing filtered pre-schedule
+        assert f_sched > n_sched            # unmodified docs now included
+        assert (forced["status"] == "robots_blocked").sum() >= 41
+        assert set(forced["status"]) <= {"scheduled", "robots_blocked", "dup"}
+
+
+class TestSolrLiveSink:
+    def test_crawl_posts_updates_and_deletes(self, ray_session, tmp_path):
+        """--solr: extracted docs stream through SolrIndexer actors
+        (one update POST per block, commit=true) and tombstones
+        through SolrPurger deletes — against a loopback server."""
+        import json as _json
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        received = []
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                received.append((self.path, self.rfile.read(n)))
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"{}")
+
+        httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        solr = f"http://127.0.0.1:{httpd.server_address[1]}/solr/core"
+        try:
+            s = crawl(SF, out_dir=str(tmp_path / "out"), num_shards=2,
+                      solr_url=solr)
+        finally:
+            httpd.shutdown()
+        assert s["n_solr_indexed"] == s["fetch_counts"]["fetched"]
+        assert all(p == "/solr/core/update?commit=true" for p, _ in received)
+        docs = [d for _, body in received
+                for d in (_json.loads(body) if body[:1] == b"[" else [])]
+        assert len(docs) == s["n_solr_indexed"]
+        assert all("UID" in d for d in docs)
+        deletes = [_json.loads(body) for _, body in received
+                   if body[:1] == b"{"]
+        assert len(deletes) == s["n_purged"] > 0
+        assert all("delete" in d for d in deletes)
+
+
 class TestInShardPurgeEquivalence:
     def test_plan_tombstones_match_antijoin(self, ray_session, tmp_path):
         """J2 via the shard shuffle must equal the standalone
