@@ -65,6 +65,10 @@ def main(argv=None) -> int:
     p_crawl.add_argument("--solr", default=None, metavar="SOLR_URL",
                          help="Solr base URL: POST extracted docs and "
                               "purge deletes after the crawl")
+    p_crawl.add_argument("--slacktoken", default=None, metavar="SLACK_TOKEN",
+                         help="post crawl failures to Slack (S13)")
+    p_crawl.add_argument("--slackchannel", default=None,
+                         metavar="SLACK_CHANNEL")
 
     p_extract = sub.add_parser("extract", help="extraction-only pipeline")
     p_extract.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -106,18 +110,31 @@ def main(argv=None) -> int:
                 from .converters import DispatchConverter, TikaConverter
 
                 converter = DispatchConverter(binary=TikaConverter(args.tika))
-            summary = crawl(
-                args.sf_dir,
-                out_dir=args.out,
-                num_shards=args.num_shards,
-                checkpoint_dir=args.checkpoint_dir,
-                seen_mode=args.seen_mode,
-                single_url=args.url,
-                purge=not args.no_purge,
-                force=args.force,
-                converter=converter,
-                solr_url=args.solr,
-            )
+            try:
+                summary = crawl(
+                    args.sf_dir,
+                    out_dir=args.out,
+                    num_shards=args.num_shards,
+                    checkpoint_dir=args.checkpoint_dir,
+                    seen_mode=args.seen_mode,
+                    single_url=args.url,
+                    purge=not args.no_purge,
+                    force=args.force,
+                    converter=converter,
+                    solr_url=args.solr,
+                )
+            except Exception as ex:
+                # reference main.py:83-87: failures notify the Slack
+                # channel, then propagate
+                if args.slacktoken and args.slackchannel:
+                    from .slack import SlackLogger
+
+                    site = (config.sites[0] if config and config.sites
+                            else type("S", (), {"url": args.sf_dir})())
+                    SlackLogger(args.slacktoken).logError(
+                        ex, site, args.slackchannel
+                    )
+                raise
             print(json.dumps(summary))
         elif args.command == "extract":
             from .pipelines.extract import extract_pipeline
