@@ -118,11 +118,12 @@ def _run_bench() -> dict:
             engine, batch_format="pyarrow", batch_size=None
         ).count()
 
-    # headline = min of two runs (this VM's run-to-run noise is ±20%;
-    # min is the standard steady-state estimator for fixed work).
-    # GRAFT_CRAWL_RUNS=1 for time-boxed scaling subprocesses.
+    # headline = min of three runs (this VM's run-to-run noise is
+    # routinely 2-3x; min is the standard steady-state estimator for
+    # fixed work). GRAFT_CRAWL_RUNS=1 for time-boxed scaling
+    # subprocesses.
     runs = []
-    for _ in range(int(os.environ.get("GRAFT_CRAWL_RUNS", "2"))):
+    for _ in range(int(os.environ.get("GRAFT_CRAWL_RUNS", "3"))):
         t0 = time.time()
         n_crawled = full_crawl()
         runs.append(round(time.time() - t0, 3))
