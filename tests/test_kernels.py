@@ -223,3 +223,68 @@ class TestUrlNorm:
 
     def test_shard_of_range(self):
         assert 0 <= shard_of("example.org", 16) < 16
+
+
+class TestRegexXPathFastPath:
+    """The regex shortcut for //parent[@attr='v']/child must EQUAL
+    the streaming scanner wherever it doesn't fall back — on the
+    whole synthetic corpus and on adversarial shapes (comments,
+    entities, nested markup, mixed quotes, scripts, case)."""
+
+    CASES = [
+        '<div id="content"><h1>A</h1></div>',
+        "<div id='content'><h1>B</h1></div>",
+        "<div id=content class=x><h1>C</h1></div>",
+        '<p id="content"><h1>n</h1></p><div id="content"><h1>D</h1></div>',
+        '<div title=\'id="content"\'><h1>X</h1></div><div id="content"><h1>E</h1></div>',
+        '<!-- <div id="content"><h1>no</h1></div> --><div id="content"><h1>F</h1></div>',
+        '<div id="content"><p>p</p><h1>G</h1></div>',
+        '<div id="content"><h1>H&amp;M</h1></div>',
+        '<div id="content"><h1><b>I</b> J</h1></div>',
+        '<DIV ID="content"><H1>K</H1></DIV>',
+        '<div id="content"></div>',
+        "<span>no divs at all</span>",
+        '<div id="contents"><h1>near</h1></div>',
+        '<script>var s=\'<div id="content"><h1>fake</h1>\';</script>'
+        '<div id="content"><h1>L</h1></div>',
+        '<div id="content"><h1/></div>',
+        '<div  id = "content" ><h1>M</h1></div>',
+    ]
+
+    def test_adversarial_equivalence_or_fallback(self):
+        from ftw_crawler_ray.functions.markup import (
+            _AMBIGUOUS,
+            _FirstMatchScanner,
+            _regex_child_text,
+        )
+
+        for doc in self.CASES:
+            fast = _regex_child_text(doc, "div", "id", "content", "h1")
+            ref = _FirstMatchScanner("h1", "div", "id", "content").scan(doc)
+            if fast is not _AMBIGUOUS:
+                assert fast == ref, (doc, fast, ref)
+
+    def test_corpus_equivalence(self):
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.functions.markup import (
+            _AMBIGUOUS,
+            _FirstMatchScanner,
+            _regex_child_text,
+        )
+        from ftw_crawler_ray.sources.pages import build_pages
+
+        t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["doc_id", "text"])
+        pages = build_pages(t["doc_id"].combine_chunks(),
+                            t["text"].combine_chunks())
+        n_fast = 0
+        for h in pages["html"].to_pylist():
+            text = h.decode("utf-8")
+            fast = _regex_child_text(text, "div", "id", "content", "h1")
+            if fast is _AMBIGUOUS:
+                continue
+            ref = _FirstMatchScanner("h1", "div", "id", "content").scan(text)
+            assert fast == ref
+            n_fast += 1
+        assert n_fast == pages.num_rows  # pristine corpus: all fast
