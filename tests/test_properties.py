@@ -113,3 +113,61 @@ class TestFilterProps:
         for k in keys:
             f.add(k)
         assert all(k in f for k in keys)
+
+
+class TestShingleProps:
+    @given(st.lists(st.sampled_from("alpha beta gamma delta eps zeta".split()),
+                    min_size=0, max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_rolling_shingle_equals_gram_identity(self, words):
+        """Two positions get the same rolling-shingle hash iff their
+        k-word grams are identical (64-bit collisions aside) — the
+        property the whole minhash family rests on."""
+        from ftw_crawler_ray.stages.dedup import shingles
+
+        k = 3
+        text = " ".join(words)
+        hashes = shingles(text, k).tolist()
+        if not words:
+            assert hashes == [0]
+            return
+        kk = min(k, len(words))
+        grams = [" ".join(words[i:i + kk])
+                 for i in range(len(words) - kk + 1)]
+        assert len(hashes) == len(grams)
+        for i in range(len(grams)):
+            for j in range(i + 1, len(grams)):
+                assert (hashes[i] == hashes[j]) == (grams[i] == grams[j])
+
+    @given(st.text(max_size=120), st.text(max_size=120))
+    @settings(max_examples=150, deadline=None)
+    def test_jaccard_bounds_and_symmetry(self, a, b):
+        from ftw_crawler_ray.stages.dedup import jaccard
+
+        j = jaccard(a, b)
+        assert 0.0 <= j <= 1.0
+        assert j == jaccard(b, a)
+        assert jaccard(a, a) == 1.0
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**64 - 1),
+                    min_size=0, max_size=50))
+    @settings(max_examples=150, deadline=None)
+    def test_minhash_signature_range_and_permutation_invariance(self, vals):
+        """Signature values stay < p and are invariant under input
+        ORDER (min over a set)."""
+        import numpy as np
+
+        from ftw_crawler_ray.stages.dedup import (
+            _P31,
+            _perm_params,
+            minhash_signature,
+        )
+
+        a, b = _perm_params(8)
+        sh = np.array(vals, dtype=np.uint64)
+        sig = minhash_signature(sh, a, b)
+        assert (sig <= _P31).all()
+        rng = np.random.default_rng(0)
+        perm = rng.permutation(len(sh)) if len(sh) else []
+        sig2 = minhash_signature(sh[perm] if len(sh) else sh, a, b)
+        assert (sig == sig2).all()
