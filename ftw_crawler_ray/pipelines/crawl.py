@@ -157,6 +157,42 @@ def scheduled_frontier(
 
         num_shards = auto_num_shards(2 * n_docs * max(1, replicate))
 
+    return schedule_datasets(
+        read_frontier(sf_dir, replicate),
+        read_index_state(sf_dir, replicate),
+        num_shards=num_shards,
+        checkpoint_dir=checkpoint_dir,
+        seen_mode=seen_mode,
+        robots_map=SANDBOX_ROBOTS if robots_map is None else robots_map,
+        emit_purge=emit_purge,
+        site_hosts=SANDBOX_SITE_HOSTS if site_hosts is None else site_hosts,
+        run_id=run_id,
+        force=force,
+        n_429_for=sandbox_n_429,
+    )
+
+
+def schedule_datasets(
+    frontier: ray.data.Dataset,
+    index_state: ray.data.Dataset | None,
+    *,
+    num_shards: int,
+    checkpoint_dir: str | None = None,
+    seen_mode: str = "exact",
+    robots_map: dict | None = None,
+    emit_purge: bool = False,
+    site_hosts: frozenset = frozenset(),
+    run_id: str | None = None,
+    force: bool = False,
+    n_429_for=None,
+) -> ray.data.Dataset:
+    """The generalized scheduling core behind ``scheduled_frontier``
+    (corpus) and ``crawl_live`` (real sitemaps/HTTP): frontier rows
+    (url, lastmod, priority, site_id, seq) ∪ index rows (url,
+    last_modified, crawler_site_id) → one host-hash shard shuffle →
+    per-shard J1 lookup + is_modified + dedup/robots/order/politeness
+    [+ J2 purge]."""
+
     def frontier_side(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table(
@@ -189,16 +225,18 @@ def scheduled_frontier(
             schema=_PLAN_INPUT_SCHEMA,
         )
 
-    frontier = read_frontier(sf_dir, replicate).map_batches(
+    both = frontier.map_batches(
         frontier_side, batch_format="pyarrow", batch_size=None
     )
-    index_state = read_index_state(sf_dir, replicate).map_batches(
-        index_side, batch_format="pyarrow", batch_size=None
-    )
-    both = frontier.union(index_state)
+    if index_state is not None:
+        both = both.union(
+            index_state.map_batches(
+                index_side, batch_format="pyarrow", batch_size=None
+            )
+        )
 
-    robots = SANDBOX_ROBOTS if robots_map is None else robots_map
-    purge_hosts = SANDBOX_SITE_HOSTS if site_hosts is None else site_hosts
+    robots = robots_map or {}
+    purge_hosts = site_hosts
 
     def schedule_group(group: pa.Table) -> pa.Table:
         f_mask = pc.equal(group["kind"], "f")
@@ -250,14 +288,14 @@ def scheduled_frontier(
             out = pa.concat_tables(
                 shard.schedule_vectorized(
                     frontier_rows.slice(off, SCHEDULE_CHUNK_ROWS),
-                    n_429_for=sandbox_n_429,
+                    n_429_for=n_429_for,
                 )
                 for off in range(0, frontier_rows.num_rows,
                                  SCHEDULE_CHUNK_ROWS)
             )
         else:
             out = shard.schedule_vectorized(
-                frontier_rows, n_429_for=sandbox_n_429
+                frontier_rows, n_429_for=n_429_for
             )
         shard.checkpoint()
 

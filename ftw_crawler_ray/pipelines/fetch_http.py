@@ -78,7 +78,8 @@ class HttpFetchActor:
 
     def __init__(self, base_sleeptime: float = 0.1, timeout: float = 10.0,
                  force: bool = False, max_429_retries: int = 16,
-                 user_agent: str = "ftw-crawler-ray/1.0"):
+                 user_agent: str = "ftw-crawler-ray/1.0",
+                 pace_from: float | None = None):
         import requests
 
         self.session = requests.Session()
@@ -88,6 +89,13 @@ class HttpFetchActor:
         self.force = force
         self.max_429_retries = max_429_retries
         self.sleeptimes: dict[str, float] = {}  # host → current (persists)
+        # planned-offset pacing: with an absolute crawl-start epoch,
+        # each row's fetch starts no earlier than pace_from +
+        # planned_offset. The offsets are the scheduler's per-host
+        # virtual clock, so pacing is globally correct ACROSS actors
+        # without any coordination — every actor shares the same wall
+        # clock and each host's rows carry disjoint offsets.
+        self.pace_from = pace_from
 
     # -- reference loop, one url ------------------------------------------
     def is_modified(self, url: str, lastmod: str | None,
@@ -142,6 +150,10 @@ class HttpFetchActor:
 
     # -- batch contract ----------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        offsets = None
+        if self.pace_from is not None and "planned_offset" in batch.column_names:
+            batch = batch.sort_by("planned_offset")
+            offsets = batch["planned_offset"].to_pylist()
         urls = batch["url"].to_pylist()
         lastmods = (
             batch["lastmod"].to_pylist()
@@ -153,6 +165,10 @@ class HttpFetchActor:
         )
         rows = {name: [] for name in FETCH_OUTPUT_SCHEMA.names}
         for i, url in enumerate(urls):
+            if offsets is not None and offsets[i] is not None:
+                wait = (self.pace_from + offsets[i]) - time.time()
+                if wait > 0:
+                    time.sleep(wait)
             body, ctype, status = None, None, "fetched"
             try:
                 body, ctype = self.fetch_one(url, lastmods[i], last_indexed[i])
@@ -194,3 +210,34 @@ def http_fetch_pool(plan, concurrency=(2, 16), batch_size: int = 256,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class RequestsFetch:
+    """Picklable ``fetch(url) -> (status, content_type, body)``
+    callable for the sitemap-discovery stage (sources/sitemap.py
+    takes any such callable): the session is built lazily per
+    process, so the object ships to Ray tasks cleanly."""
+
+    def __init__(self, timeout: float = 10.0,
+                 user_agent: str = "ftw-crawler-ray/1.0"):
+        self.timeout = timeout
+        self.user_agent = user_agent
+        self._session = None
+
+    def __getstate__(self):
+        return {"timeout": self.timeout, "user_agent": self.user_agent}
+
+    def __setstate__(self, state):
+        self.timeout = state["timeout"]
+        self.user_agent = state["user_agent"]
+        self._session = None
+
+    def __call__(self, url: str):
+        if self._session is None:
+            import requests
+
+            self._session = requests.Session()
+            self._session.headers["User-Agent"] = self.user_agent
+        r = self._session.get(url, allow_redirects=False,
+                              timeout=self.timeout)
+        return (r.status_code, r.headers.get("Content-Type", ""), r.content)

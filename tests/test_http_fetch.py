@@ -158,3 +158,41 @@ class TestBatchContract:
         assert out["html"].to_pylist()[1] is None
         assert out["content_type"].to_pylist()[0] == "text/html"
         assert out["site_id"].to_pylist() == ["127.0.0.1"] * 3
+
+
+class TestPlannedPacing:
+    def test_fetches_wait_for_planned_offsets(self, server, monkeypatch):
+        """pace_from + planned_offset: each fetch starts no earlier
+        than crawl_start + offset, rows processed in offset order —
+        the scheduler's virtual politeness clock honored in real
+        time (virtual clock here: sleep/time are monkeypatched)."""
+        import ftw_crawler_ray.pipelines.fetch_http as mod
+
+        now = {"t": 1000.0}
+        sleeps = []
+
+        def fake_time():
+            return now["t"]
+
+        def fake_sleep(dt):
+            sleeps.append(round(dt, 3))
+            now["t"] += dt
+
+        monkeypatch.setattr(mod.time, "time", fake_time)
+        monkeypatch.setattr(mod.time, "sleep", fake_sleep)
+        actor = HttpFetchActor(pace_from=1000.0)
+        batch = pa.table(
+            {
+                "url": pa.array([f"{server}/ok"] * 3, pa.string()),
+                "lastmod": pa.array([None] * 3, pa.string()),
+                "shard": pa.array([0] * 3, pa.int32()),
+                "seq": pa.array([1, 2, 3], pa.int64()),
+                "fetch_order": pa.array([2, 0, 1], pa.int64()),
+                "planned_offset": pa.array([0.4, 0.0, 0.2], pa.float64()),
+            }
+        )
+        out = actor(batch)
+        assert out["fetch_status"].to_pylist() == ["fetched"] * 3
+        # processed in offset order 0.0, 0.2, 0.4 → slept up to each
+        assert sleeps == [pytest.approx(0.2), pytest.approx(0.2)]
+        assert out["fetch_order"].to_pylist() == [0, 1, 2]

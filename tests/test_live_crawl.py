@@ -1,0 +1,148 @@
+"""crawl_live end-to-end against a loopback HTTP site: sitemap
+discovery → robots gate → shard scheduling → HttpFetchActor →
+HtmlConverter extraction → docs/index_state Parquet, plus
+checkpointed resume (second run all-dup) and incrementality via
+index_state_dir."""
+
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pyarrow.dataset as pads
+import pytest
+
+from ftw_crawler_ray.config import Site
+from ftw_crawler_ray.pipelines.live import crawl_live, live_robots
+from ftw_crawler_ray.pipelines.fetch_http import RequestsFetch
+
+NS = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def _page(title: str, body: str) -> bytes:
+    return (
+        f"<html><head><title>{title}</title></head>"
+        f'<body><div id="content"><h1>{title}</h1>'
+        f"<p>{body}</p></div></body></html>"
+    ).encode()
+
+
+class _SiteHandler(BaseHTTPRequestHandler):
+    base = ""
+
+    def log_message(self, *a):
+        pass
+
+    def _ok(self, body, ctype="text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_HEAD(self):
+        self.send_response(200)
+        self.end_headers()
+
+    def do_GET(self):
+        b = _SiteHandler.base
+        if self.path == "/robots.txt":
+            self._ok(b"User-agent: *\nDisallow: /private/", "text/plain")
+        elif self.path == "/sitemap.xml":
+            urls = "".join(
+                f"<url><loc>{b}{p}</loc><lastmod>2024-01-0{i+1}</lastmod>"
+                f"</url>"
+                for i, p in enumerate(
+                    ["/a", "/b", "/c", "/private/secret", "/missing", "/redir"]
+                )
+            )
+            self._ok(f'<urlset {NS}>{urls}</urlset>'.encode(), "text/xml")
+        elif self.path == "/a":
+            self._ok(_page("Alpha", "first page text"))
+        elif self.path == "/b":
+            self._ok(_page("Beta", "second page text"))
+        elif self.path == "/c":
+            self._ok(_page("Gamma", "third page text"))
+        elif self.path == "/private/secret":
+            self._ok(_page("Secret", "robots should block this"))
+        elif self.path == "/redir":
+            self.send_response(301)
+            self.send_header("Location", f"{b}/a")
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+        else:
+            body = b"nope"
+            self.send_response(404)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+
+@pytest.fixture(scope="module")
+def site_server():
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _SiteHandler)
+    _SiteHandler.base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield _SiteHandler.base
+    httpd.shutdown()
+
+
+class TestLiveCrawl:
+    def test_end_to_end(self, ray_session, site_server, tmp_path):
+        sites = [Site(site_server + "/")]
+        out = tmp_path / "live"
+        s = crawl_live(
+            sites, str(out), num_shards=2,
+            checkpoint_dir=str(out / "ckpt"),
+        )
+        # robots blocked /private/secret; dedup saw nothing twice
+        assert s["plan_counts"]["scheduled"] == 5
+        assert s["plan_counts"]["robots_blocked"] == 1
+        # /missing 404 → fetch_error, /redir 301 → redirect
+        assert s["fetch_counts"]["fetched"] == 3
+        assert s["fetch_counts"]["fetch_error"] == 1
+        assert s["fetch_counts"]["redirect"] == 1
+
+        docs = pads.dataset(str(out / "docs"), partitioning="hive").to_table(
+            columns=["url", "Title", "SearchableText", "UID", "fetch_status"]
+        ).to_pylist()
+        ok = {r["url"]: r for r in docs if r["fetch_status"] == "fetched"}
+        assert set(ok) == {site_server + p for p in ("/a", "/b", "/c")}
+        a = ok[site_server + "/a"]
+        assert a["Title"] == "Alpha"          # h1 via HtmlConverter
+        assert "first page text" in a["SearchableText"]
+        assert a["UID"]
+
+        # resume with same checkpoints: everything is a dup
+        s2 = crawl_live(
+            sites, str(tmp_path / "live2"), num_shards=2,
+            checkpoint_dir=str(out / "ckpt"),
+        )
+        assert s2["plan_counts"] == {"dup": 6}
+
+    def test_incrementality_via_index_state(self, ray_session, site_server,
+                                            tmp_path):
+        """Second run fed the first run's index_state: every page's
+        sitemap lastmod (2024) is older than last crawl → nothing is
+        modified → nothing scheduled."""
+        sites = [Site(site_server + "/")]
+        first = tmp_path / "first"
+        s1 = crawl_live(sites, str(first), num_shards=2)
+        assert s1["fetch_counts"]["fetched"] == 3
+
+        s2 = crawl_live(
+            sites, str(tmp_path / "second"), num_shards=2,
+            index_state_dir=str(first / "index_state"),
+        )
+        # a/b/c: indexed with last_modified == sitemap lastmod → NOT
+        # modified → filtered; /missing + /redir never made the index
+        # → still candidates; /private robots-blocked
+        assert s2["plan_counts"].get("scheduled", 0) == 2
+        assert s2["plan_counts"].get("robots_blocked", 0) == 1
+        assert s2["fetch_counts"].get("fetched", 0) == 0
+
+    def test_live_robots_helper(self, site_server):
+        from ftw_crawler_ray.functions.urlnorm import host_of
+
+        robots = live_robots([Site(site_server + "/")], RequestsFetch())
+        assert "Disallow: /private/" in robots[host_of(site_server + "/")]
