@@ -239,8 +239,12 @@ def minhash_candidate_pairs(
     pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
         pairs_in_bucket, batch_format="pyarrow"
     )
-    # distinct pairs (a pair can collide in several bands)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands_hit"))
+    # distinct pairs (a pair can collide in several bands) — numpy
+    # pair-dedup, not groupby-aggregate (see util.grouped_pairs: Ray's
+    # aggregate pays Python time per distinct key)
+    from .util import grouped_pairs
+
+    return grouped_pairs(pairs, "doc_a", "doc_b", alias="n_bands_hit")
 
 
 _VERIFY_PARTITIONS = 16
@@ -292,13 +296,24 @@ def minhash_verified_pairs(
                  "jaccard": pa.array([], pa.float64())}
             )
         cache: dict[str, int] = {}
+        # a doc appears in MANY pairs inside dup-heavy batches —
+        # shingle each doc once per batch, not once per pair
+        sets_by_doc: dict[int, set] = {}
+
+        def shingle_set(doc_id, text):
+            s = sets_by_doc.get(doc_id)
+            if s is None:
+                s = set(shingles(text, k, cache).tolist())
+                sets_by_doc[doc_id] = s
+            return s
+
         keep_a, keep_b, sims = [], [], []
         for a, b, ta, tb in zip(
             batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
             batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
         ):
-            sa = set(shingles(ta, k, cache).tolist())
-            sb = set(shingles(tb, k, cache).tolist())
+            sa = shingle_set(a, ta)
+            sb = shingle_set(b, tb)
             union = len(sa | sb)
             j = (len(sa & sb) / union) if union else 1.0
             if j >= threshold:
@@ -564,6 +579,7 @@ def simhash_near_dups(sf_dir: str, radius: int = 3,
         .map_groups(pairs_in_bucket, batch_format="pyarrow")
     )
     # a pair can collide under several rotations — keep one row
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    from .util import grouped_pairs
+
+    return grouped_pairs(pairs, "doc_a", "doc_b", value_col="hamming",
+                         mode="min", alias="hamming")

@@ -256,13 +256,13 @@ def lsh_near_dups(
             }
         )
 
-    from ..stages.util import attach_column
+    from ..stages.util import attach_column, grouped_pairs
 
-    candidates = (
-        bands.groupby(["band_id", "bucket"])
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"])
-        .aggregate(AggCount(alias_name="n_bands_hit"))  # distinct pairs
+    candidates = grouped_pairs(
+        bands.groupby(["band_id", "bucket"]).map_groups(
+            pairs_in_bucket, batch_format="pyarrow"
+        ),
+        "vec_a", "vec_b", alias="n_bands_hit",
     )
 
     emb = _read_embeddings(sf_dir)

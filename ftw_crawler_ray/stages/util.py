@@ -34,36 +34,45 @@ def attach_column(
     out_col: str,
     item_schema: pa.Schema,
     payload_type: pa.DataType,
+    num_parts: int = 64,
 ) -> "ray.data.Dataset":
     """Equi-join one payload column onto ``items`` (inner-join
-    semantics) via a tagged union + groupby — the sort-shuffle
-    lookup-join lowering.
+    semantics) via a tagged union + FIXED-partition shuffle + an
+    in-partition hash join.
 
     Why not ``Dataset.join``: Ray 2.49's hash-shuffle join (a) crashes
     on any shuffle partition that receives zero shards on one side
     (the empty ArrowBlockBuilder yields a schemaless table Acero
     rejects), which makes small or skewed key sets a coin flip, and
-    (b) deadlocks when two join ops share a streaming plan. A
-    groupby carries exactly the same data volume (one shuffle keyed
-    by the join key) without either failure mode, and payload columns
-    can be any Arrow type including lists.
+    (b) deadlocks when two join ops share a streaming plan.
 
-    Partitioning assumption: all rows of one key fit one group —
-    true when ``lookup`` is unique per key (our case: doc_id / vec_id
-    lookups) and item fan-in per key is bounded.
+    Why partition-then-dict rather than ``groupby(key).map_groups``:
+    Ray pays Python time per GROUP, so millions of keys cost minutes;
+    here the shuffle has ``num_parts`` groups total and each
+    partition joins through one dict built at C speed. Both sides of
+    a key always land in the same partition (same hash), and payload
+    columns can be any Arrow type including lists.
     """
     full = pa.schema(
-        [("__key", pa.int64())]
+        [("__key", pa.int64()), ("__part", pa.int32())]
         + list(item_schema)
         + [(out_col, payload_type), ("__is_item", pa.int8())]
     )
     out_schema = pa.schema(list(item_schema) + [(out_col, payload_type)])
 
+    def _part_of(keys: np.ndarray) -> np.ndarray:
+        return (
+            (keys.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+
     def tag_items(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or item_key not in t.column_names:
             return full.empty_table()
         n = t.num_rows
-        cols = {"__key": t[item_key].combine_chunks().cast(pa.int64())}
+        keys = t[item_key].to_numpy().astype(np.int64)
+        cols = {"__key": pa.array(keys, pa.int64()),
+                "__part": pa.array(_part_of(keys), pa.int32())}
         for f in item_schema:
             cols[f.name] = t[f.name].combine_chunks().cast(f.type)
         cols[out_col] = pa.nulls(n, payload_type)
@@ -74,26 +83,34 @@ def attach_column(
         if t.num_rows == 0 or lookup_key not in t.column_names:
             return full.empty_table()
         n = t.num_rows
-        cols = {"__key": t[lookup_key].combine_chunks().cast(pa.int64())}
+        keys = t[lookup_key].to_numpy().astype(np.int64)
+        cols = {"__key": pa.array(keys, pa.int64()),
+                "__part": pa.array(_part_of(keys), pa.int32())}
         for f in item_schema:
             cols[f.name] = pa.nulls(n, f.type)
         cols[out_col] = t[payload_col].combine_chunks().cast(payload_type)
         cols["__is_item"] = pa.array(np.zeros(n, dtype=np.int8), pa.int8())
         return pa.table(cols, schema=full)
 
-    def emit(group: pa.Table) -> pa.Table:
+    def join_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "__is_item" not in group.column_names:
+            return out_schema.empty_table()
         is_item = pc.equal(group["__is_item"], 1)
         item_rows = group.filter(is_item)
         payload_rows = group.filter(pc.invert(is_item))
         if item_rows.num_rows == 0 or payload_rows.num_rows == 0:
             return out_schema.empty_table()
-        payload_val = payload_rows[out_col][0]
-        cols = {f.name: item_rows[f.name] for f in item_schema}
-        cols[out_col] = pa.chunked_array(
-            [pa.Array.from_pandas(
-                [payload_val.as_py()] * item_rows.num_rows, type=payload_type
-            )]
+        by_key = dict(
+            zip(payload_rows["__key"].to_pylist(),
+                payload_rows[out_col].to_pylist())
         )
+        item_keys = item_rows["__key"].to_pylist()
+        hit = pa.array([k in by_key for k in item_keys])
+        item_rows = item_rows.filter(hit)  # inner-join semantics
+        payload = [by_key[k] for k, ok in zip(item_keys, hit.to_pylist())
+                   if ok]
+        cols = {f.name: item_rows[f.name] for f in item_schema}
+        cols[out_col] = pa.array(payload, payload_type)
         return pa.table(cols, schema=out_schema)
 
     tagged = items.map_batches(
@@ -101,4 +118,90 @@ def attach_column(
     ).union(
         lookup.map_batches(tag_lookup, batch_format="pyarrow", batch_size=None)
     )
-    return tagged.groupby("__key").map_groups(emit, batch_format="pyarrow")
+    return tagged.groupby("__part", num_partitions=num_parts).map_groups(
+        join_part, batch_format="pyarrow"
+    )
+
+
+def grouped_pairs(
+    ds: "ray.data.Dataset",
+    a_col: str,
+    b_col: str,
+    *,
+    value_col: str | None = None,
+    mode: str = "count",
+    alias: str = "n",
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Distinct (a, b) pairs with an aggregated value — ``count`` of
+    occurrences or ``min`` of ``value_col`` — lowered to a per-batch
+    numpy pre-combine + a FIXED-small-partition shuffle + a C-speed
+    per-partition reduce.
+
+    Why not ``groupby([a, b]).aggregate(...)``: Ray's aggregate costs
+    Python time per DISTINCT key; at millions of candidate pairs that
+    is minutes for work numpy does in milliseconds. Here the shuffle
+    key is ``hash(a, b) % num_parts`` (both halves of a pair always
+    co-locate), and every reduce is lexsort + reduceat."""
+    out_type = pa.int64()
+
+    def _reduce(a, b, v):
+        order = np.lexsort((b, a))
+        a, b, v = a[order], b[order], v[order]
+        if len(a) == 0:
+            return a, b, v
+        new = np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)]
+        starts = np.nonzero(new)[0]
+        if mode == "count":
+            agg = np.add.reduceat(v, starts)
+        else:
+            agg = np.minimum.reduceat(v, starts)
+        return a[starts], b[starts], agg
+
+    out_schema = pa.schema(
+        [(a_col, pa.int64()), (b_col, pa.int64()), (alias, out_type),
+         ("__part", pa.int32())]
+    )
+    final_schema = pa.schema(
+        [(a_col, pa.int64()), (b_col, pa.int64()), (alias, out_type)]
+    )
+
+    def precombine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or a_col not in t.column_names:
+            return out_schema.empty_table()
+        a = t[a_col].to_numpy().astype(np.int64)
+        b = t[b_col].to_numpy().astype(np.int64)
+        v = (
+            t[value_col].to_numpy().astype(np.int64)
+            if value_col is not None
+            else np.ones(len(a), dtype=np.int64)
+        )
+        a, b, v = _reduce(a, b, v)
+        part = (
+            (a.astype(np.uint64) * np.uint64(2654435761)) ^ b.astype(np.uint64)
+        ) % np.uint64(num_parts)
+        return pa.table(
+            {a_col: pa.array(a, pa.int64()), b_col: pa.array(b, pa.int64()),
+             alias: pa.array(v, out_type),
+             "__part": pa.array(part.astype(np.int32), pa.int32())},
+            schema=out_schema,
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or a_col not in group.column_names:
+            return final_schema.empty_table()
+        a = group[a_col].to_numpy().astype(np.int64)
+        b = group[b_col].to_numpy().astype(np.int64)
+        v = group[alias].to_numpy().astype(np.int64)
+        a, b, v = _reduce(a, b, v)
+        return pa.table(
+            {a_col: pa.array(a, pa.int64()), b_col: pa.array(b, pa.int64()),
+             alias: pa.array(v, out_type)},
+            schema=final_schema,
+        )
+
+    return (
+        ds.map_batches(precombine, batch_format="pyarrow", batch_size=None)
+        .groupby("__part", num_partitions=num_parts)
+        .map_groups(finalize, batch_format="pyarrow")
+    )
