@@ -347,7 +347,7 @@ def connected_components(
     detected by the label SUM: labels shrink monotonically, so the
     fixed point is exactly 'sum unchanged' — one cheap aggregate per
     round, no compare join."""
-    from ray.data.aggregate import Min as AggMin, Sum as AggSum
+    from ray.data.aggregate import Sum as AggSum
 
     from .util import attach_column, ensure_schema
 
@@ -374,22 +374,25 @@ def connected_components(
         to_edges, batch_format="pyarrow", batch_size=None
     ).materialize()
 
+    from .util import grouped_agg
+
     def agg_to_labels(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "src" not in t.column_names:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
             return _label_schema.empty_table()
         return pa.table(
             {
-                "doc_id": t["src"].combine_chunks().cast(pa.int64()),
-                "label": pc.min_element_wise(t["src"], t["min_nb"]).cast(
+                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "label": pc.min_element_wise(t["doc_id"], t["min_nb"]).cast(
                     pa.int64()
                 ),
             }
         )
 
-    # init fused with round 1: label(x) = min(x, min neighbor)
+    # init fused with round 1: label(x) = min(x, min neighbor);
+    # grouped_agg, not groupby-aggregate — node counts are corpus-ish
     labels = (
-        edges.groupby("src")
-        .aggregate(AggMin("dst", alias_name="min_nb"))
+        grouped_agg(edges, "src", "dst", mode="min",
+                    out_key="doc_id", out_value="min_nb")
         .map_batches(agg_to_labels, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
@@ -418,16 +421,9 @@ def connected_components(
             else _label_schema.empty_table(),
             batch_format="pyarrow", batch_size=None,
         )
-        labels = (
-            labels.union(prop)
-            .groupby("doc_id")
-            .aggregate(AggMin("label", alias_name="label"))
-            .map_batches(
-                ensure_schema(_label_schema),
-                batch_format="pyarrow", batch_size=None,
-            )
-            .materialize()
-        )
+        labels = grouped_agg(
+            labels.union(prop), "doc_id", "label", mode="min"
+        ).materialize()
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
             break

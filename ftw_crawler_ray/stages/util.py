@@ -205,3 +205,71 @@ def grouped_pairs(
         .groupby("__part", num_partitions=num_parts)
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def grouped_agg(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    *,
+    mode: str = "min",
+    out_key: str | None = None,
+    out_value: str | None = None,
+    num_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Single-key ``min``/``sum`` aggregate lowered exactly like
+    grouped_pairs: per-batch lexsort+reduceat pre-combine → fixed
+    ``num_parts`` shuffle → the same C-speed reduce per partition.
+    Use instead of ``groupby(key).aggregate(...)`` whenever distinct
+    keys number in the tens of thousands or more."""
+    out_key = out_key or key_col
+    out_value = out_value or value_col
+    mid_schema = pa.schema(
+        [(key_col, pa.int64()), (value_col, pa.int64()),
+         ("__part", pa.int32())]
+    )
+    final_schema = pa.schema([(out_key, pa.int64()), (out_value, pa.int64())])
+    reducer = np.minimum.reduceat if mode == "min" else np.add.reduceat
+
+    def _reduce(k, v):
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        if len(k) == 0:
+            return k, v
+        starts = np.nonzero(np.r_[True, np.diff(k) != 0])[0]
+        return k[starts], reducer(v, starts)
+
+    def precombine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return mid_schema.empty_table()
+        k = t[key_col].to_numpy().astype(np.int64)
+        v = t[value_col].to_numpy().astype(np.int64)
+        k, v = _reduce(k, v)
+        part = (
+            (k.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+        return pa.table(
+            {key_col: pa.array(k, pa.int64()),
+             value_col: pa.array(v, pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid_schema,
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or key_col not in group.column_names:
+            return final_schema.empty_table()
+        k = group[key_col].to_numpy().astype(np.int64)
+        v = group[value_col].to_numpy().astype(np.int64)
+        k, v = _reduce(k, v)
+        return pa.table(
+            {out_key: pa.array(k, pa.int64()),
+             out_value: pa.array(v, pa.int64())},
+            schema=final_schema,
+        )
+
+    return (
+        ds.map_batches(precombine, batch_format="pyarrow", batch_size=None)
+        .groupby("__part", num_partitions=num_parts)
+        .map_groups(finalize, batch_format="pyarrow")
+    )
