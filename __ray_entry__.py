@@ -383,6 +383,18 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(sf_dir, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=16)
 
 
+def _q_repeated_ngrams(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import repeated_ngrams
+
+    return repeated_ngrams(sf_dir, k=5, min_docs=2)
+
+
+def _q_decontaminate(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import decontaminate
+
+    return decontaminate(sf_dir, k=5, modulus=97)
+
+
 def _q_simhash_pairs(sf_dir: str):
     from ftw_crawler_ray.stages.dedup import simhash_near_dups
 
@@ -447,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_near_dups": _q_lsh_near_dups,
         "minhash_verified": _q_minhash_verified,
         "lang_id": _q_lang_id,
+        "repeated_ngrams": _q_repeated_ngrams,
+        "decontaminate": _q_decontaminate,
         # rows-only (non-SQL-expressible: cluster labels from LSH
         # collisions, sketch signatures, binary payload plumbing)
         "minhash_dedup": _q_minhash_dedup,
@@ -802,6 +816,23 @@ SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 SELECT doc_id AS media_id,
        CAST(unnest([0, 2, 4, 6]) AS BIGINT) AS frame_idx
 FROM documents
+""",
+        # boilerplate detector: word 5-grams in ≥2 distinct docs
+        # (sets is DISTINCT per doc, so count(*) = document count)
+        "repeated_ngrams": f"""
+WITH {SQL_MINHASH_GRAMS}
+SELECT gram, count(*) AS n_docs
+FROM sets GROUP BY gram HAVING count(*) >= 2
+""",
+        # benchmark decontamination: non-needle docs sharing ≥1 word
+        # 5-gram with the needle set (doc_id % 97 == 0)
+        "decontaminate": f"""
+WITH {SQL_MINHASH_GRAMS},
+needles AS (SELECT DISTINCT gram FROM sets WHERE doc_id % 97 = 0)
+SELECT s.doc_id, count(*) AS n_hits
+FROM sets s JOIN needles n ON s.gram = n.gram
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id
 """,
         # stopword-profile language id: argmax of per-language stopword
         # hits, ties resolved en > de > fr (the engine's dict order

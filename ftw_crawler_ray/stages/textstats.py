@@ -224,3 +224,146 @@ def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
         Fingerprinter, fn_constructor_kwargs={"window": window},
         batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
     )
+
+
+def repeated_ngrams(sf_dir: str, k: int = 5,
+                    min_docs: int = 2, num_parts: int = 64) -> ray.data.Dataset:
+    """Boilerplate / template detector: word k-grams appearing in at
+    least ``min_docs`` DISTINCT documents, with their document
+    counts. The cross-doc count runs on 64-bit gram hashes through a
+    fixed-partition numpy reduce (util.grouped_agg shape) — gram
+    STRINGS ride along only as the representative to report, so the
+    shuffle stays narrow. Output: (gram, n_docs)."""
+    from .dedup import MinHasher, shingles
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    mid = pa.schema([("h", pa.int64()), ("gram", pa.string()),
+                     ("n", pa.int64()), ("__part", pa.int32())])
+    out_schema = pa.schema([("gram", pa.string()), ("n_docs", pa.int64())])
+
+    class GramEmitter:
+        def __init__(self):
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.cache) > MinHasher._CACHE_LIMIT:
+                self.cache.clear()
+            hs, grams = [], []
+            for t in batch["text"].to_pylist():
+                words = t.split()
+                if not words:
+                    continue
+                kk = min(k, len(words))
+                hashes = shingles(t, k, self.cache)
+                seen: set[int] = set()
+                for i, h in enumerate(hashes.tolist()):
+                    if h in seen:
+                        continue  # distinct per doc
+                    seen.add(h)
+                    hs.append(h - (1 << 63))  # uint64 → int64 shift
+                    grams.append(" ".join(words[i:i + kk]))
+            h_arr = np.array(hs, dtype=np.int64)
+            part = (
+                (h_arr.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(num_parts)
+            ).astype(np.int32)
+            return pa.table(
+                {"h": pa.array(h_arr, pa.int64()),
+                 "gram": pa.array(grams, pa.string()),
+                 "n": pa.array(np.ones(len(hs), np.int64), pa.int64()),
+                 "__part": pa.array(part, pa.int32())},
+                schema=mid,
+            )
+
+    def count_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return out_schema.empty_table()
+        h = group["h"].to_numpy()
+        n = group["n"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h, n = h[order], n[order]
+        starts = np.nonzero(np.r_[True, np.diff(h) != 0])[0]
+        counts = np.add.reduceat(n, starts)
+        keep = counts >= min_docs
+        # representative gram string per kept hash
+        grams = group["gram"].take(pa.array(order[starts[keep]]))
+        return pa.table(
+            {"gram": grams, "n_docs": pa.array(counts[keep], pa.int64())},
+            schema=out_schema,
+        )
+
+    return (
+        docs.map_batches(GramEmitter, batch_format="pyarrow",
+                         batch_size=None, concurrency=(1, 4))
+        .groupby("__part", num_partitions=num_parts)
+        .map_groups(count_part, batch_format="pyarrow")
+    )
+
+
+@ray.remote
+def _needle_gram_hashes(path: str, k: int, modulus: int):
+    """Worker task: the benchmark ('needle') docs' distinct gram
+    hashes — doc_id % modulus == 0 is the deterministic, SQL-
+    replicable needle set."""
+    import pyarrow.parquet as pq
+
+    from .dedup import shingles
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    cache: dict[str, int] = {}
+    needles: set[int] = set()
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        if doc_id % modulus == 0:
+            needles.update(shingles(text, k, cache).tolist())
+    return needles
+
+
+def decontaminate(sf_dir: str, k: int = 5,
+                  modulus: int = 97) -> ray.data.Dataset:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word k-gram with the needle set (docs with doc_id % modulus == 0
+    stand in for an eval benchmark). The needle gram-hash set is
+    built once in a worker task and broadcast via the object store
+    (benchmarks are small by nature); each batch intersects its docs'
+    distinct gram hashes against it — no shuffle at all. Output:
+    (doc_id, n_hits) for contaminated non-needle docs."""
+    from .dedup import MinHasher, shingles
+
+    needles_ref = _needle_gram_hashes.remote(
+        f"{sf_dir}/documents.parquet", k, modulus
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    class Matcher:
+        def __init__(self):
+            self.needles = None
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.needles is None:
+                import ray as _ray
+
+                self.needles = _ray.get(needles_ref)
+            if len(self.cache) > MinHasher._CACHE_LIMIT:
+                self.cache.clear()
+            ids, hits = [], []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                    batch["text"].to_pylist()):
+                if doc_id % modulus == 0:
+                    continue  # the benchmark itself
+                n = len(set(shingles(text, k, self.cache).tolist())
+                        & self.needles)
+                if n:
+                    ids.append(doc_id)
+                    hits.append(n)
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()),
+                 "n_hits": pa.array(hits, pa.int64())}
+            )
+
+    return docs.map_batches(Matcher, batch_format="pyarrow",
+                            batch_size=None, concurrency=(1, 4))

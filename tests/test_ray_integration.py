@@ -145,6 +145,24 @@ class TestSimilarityPipelines:
         assert (lsh["sim"] >= 0.4).all()
 
 
+class TestCorpusDiagnostics:
+    def test_repeated_ngrams_counts_distinct_docs(self, ray_session):
+        from ftw_crawler_ray.stages.textstats import repeated_ngrams
+
+        df = repeated_ngrams(SF, k=5, min_docs=2).to_pandas()
+        assert len(df) > 0
+        assert (df["n_docs"] >= 2).all()
+        # every reported gram is a real 5-word sequence
+        assert df["gram"].str.split().str.len().eq(5).all()
+
+    def test_decontaminate_flags_needle_overlap_only(self, ray_session):
+        from ftw_crawler_ray.stages.textstats import decontaminate
+
+        df = decontaminate(SF, k=5, modulus=97).to_pandas()
+        assert (df["doc_id"] % 97 != 0).all()  # needles never flagged
+        assert (df["n_hits"] >= 1).all()
+
+
 class TestBroadcastJoin:
     def test_broadcast_equals_shuffle_join(self, ray_session):
         """J1 broadcast variant (lookup built in a worker task) must
