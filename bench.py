@@ -134,6 +134,13 @@ def _run_bench() -> dict:
     timed("dedup_exact", lambda: dedup_exact(sf_dir).count())
     timed("quality", lambda: quality_scores(sf_dir).count())
 
+    def _minhash():
+        from ftw_crawler_ray.stages.dedup import minhash_verified_pairs
+
+        return minhash_verified_pairs(sf_dir).count()
+
+    timed("minhash_verified", _minhash)
+
     headline = queries["crawl"]
     result = {
         "metric": "crawl_e2e_seconds",

@@ -151,6 +151,21 @@ class TestSingleUrlMode:
         assert s["fetch_counts"].get("fetched", 0) == 1
 
 
+class TestAutoShardCrawl:
+    def test_num_shards_none_sizes_from_input(self, ray_session, tmp_path):
+        """num_shards=None derives the shard count from input size
+        (floor 8 at corpus scale) and the crawl still balances."""
+        import os
+
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        out = tmp_path / "auto"
+        s = crawl(SF, out_dir=str(out), num_shards=None)
+        assert s["plan_counts"]["scheduled"] == 375
+        parts = [d for d in os.listdir(out / "docs") if d.startswith("shard=")]
+        assert len(parts) == 8  # auto_num_shards floor
+
+
 class TestForceMode:
     def test_force_skips_is_modified_only(self, ray_session):
         """reference -f/--force (fetcher.py:49-51): unmodified docs
