@@ -22,7 +22,6 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data
-from ray.data.aggregate import Count as AggCount
 
 
 def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
