@@ -41,6 +41,10 @@ def _ray_session(num_cpus: int):
 
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="ftw-crawler-ray")
+    parser.add_argument("--log-dir", default=None, metavar="DIR",
+                        help="set up the reference's logging layout "
+                             "(console INFO + rotating debug/info/warn "
+                             "files) under DIR")
     sub = parser.add_subparsers(dest="command", required=True)
 
     p_crawl = sub.add_parser("crawl", help="full crawl lifecycle")
@@ -80,6 +84,11 @@ def main(argv=None) -> int:
     p_lineage.add_argument("--checkpoint-dir", required=True)
 
     args = parser.parse_args(argv)
+
+    if args.log_dir:
+        from .log import setup_logging
+
+        setup_logging(args.log_dir)
 
     if args.command == "lineage":
         import glob

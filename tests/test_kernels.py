@@ -288,3 +288,23 @@ class TestRegexXPathFastPath:
             assert fast == ref
             n_fast += 1
         assert n_fast == pages.num_rows  # pristine corpus: all fast
+
+
+class TestLoggingSetup:
+    def test_setup_creates_layout_and_is_idempotent(self, tmp_path):
+        import logging
+
+        from ftw_crawler_ray.log import setup_logging
+
+        d = setup_logging(str(tmp_path / "logs"))
+        import os
+        assert sorted(os.listdir(d)) == ["debug.log", "info.log", "warn.log"]
+        n1 = len(logging.root.handlers)
+        setup_logging(str(tmp_path / "logs"))  # idempotent re-setup
+        assert len(logging.root.handlers) == n1
+        # requests logger quieted
+        assert logging.getLogger("requests").level == logging.WARN
+        # cleanup so other tests' logging is unaffected
+        for h in list(logging.root.handlers):
+            if getattr(h, "_ftw_crawler_ray", False):
+                logging.root.removeHandler(h)
