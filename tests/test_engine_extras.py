@@ -174,3 +174,41 @@ class TestExampleConfig:
         assert row["SearchableText"] == "eins zwei drei"
         assert row["portal_type"] == "ContentPage"
         assert row["object_type"] == "CONTENT_PAGE"
+
+
+class TestTestingHelpers:
+    """ftw_crawler_ray.testing — the plugin-author surface."""
+
+    def test_extract_one_and_mock_converter(self):
+        from ftw_crawler_ray.pipelines.extract import corpus_config
+        from ftw_crawler_ray.testing import MockConverter, extract_one
+
+        row = extract_one(
+            corpus_config(),
+            url="http://h0.example.org/docs/page-3",
+            html="<html><body>ignored</body></html>",
+            converter=MockConverter(metadata={"title": "Stubbed"},
+                                    text="stub text"),
+        )
+        assert row["SearchableText"] == "stub text"
+        assert row["Title"] == "Stubbed"
+
+    def test_corpus_fetch_and_paths_agree(self):
+        import pyarrow as pa
+
+        from ftw_crawler_ray.pipelines.extract import corpus_config
+        from ftw_crawler_ray.sources.pages import build_pages
+        from ftw_crawler_ray.testing import (
+            assert_engine_paths_agree,
+            corpus_fetch,
+        )
+
+        fetch = corpus_fetch({"http://a.org/x": ("text/plain", b"hi")})
+        assert fetch("http://a.org/x")[0] == 200
+        assert fetch("http://a.org/y")[0] == 404
+
+        batch = build_pages(
+            pa.array([1, 2, 3], pa.int64()),
+            pa.array(["eins zwei", "drei vier", "fünf sechs"], pa.string()),
+        )
+        assert_engine_paths_agree(corpus_config(), batch)
