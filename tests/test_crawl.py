@@ -166,6 +166,26 @@ class TestAutoShardCrawl:
         assert len(parts) == 8  # auto_num_shards floor
 
 
+class TestCuckooSeenMode:
+    def test_cuckoo_crawl_matches_exact_counts(self, ray_session, tmp_path):
+        """seen_mode='cuckoo' (approximate URL-seen at ~0.2% fp)
+        produces the same plan at corpus scale — the compact-filter
+        path through the FULL pipeline, not just the unit tests."""
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        exact = crawl(SF, out_dir=str(tmp_path / "e"), num_shards=2)
+        cuckoo = crawl(SF, out_dir=str(tmp_path / "c"), num_shards=2,
+                       seen_mode="cuckoo",
+                       checkpoint_dir=str(tmp_path / "c" / "ckpt"))
+        assert cuckoo["plan_counts"] == exact["plan_counts"]
+        assert cuckoo["fetch_counts"] == exact["fetch_counts"]
+        # rerun over the checkpoints: the cuckoo filter still dedups
+        again = crawl(SF, out_dir=str(tmp_path / "c2"), num_shards=2,
+                      seen_mode="cuckoo",
+                      checkpoint_dir=str(tmp_path / "c" / "ckpt"))
+        assert again["plan_counts"].get("scheduled", 0) == 0
+
+
 class TestForceMode:
     def test_force_skips_is_modified_only(self, ray_session):
         """reference -f/--force (fetcher.py:49-51): unmodified docs
