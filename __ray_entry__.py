@@ -383,6 +383,12 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(sf_dir, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=16)
 
 
+def _q_training_mix(sf_dir: str):
+    from ftw_crawler_ray.pipelines.recipe import training_mix
+
+    return training_mix(sf_dir)
+
+
 def _q_repeated_ngrams(sf_dir: str):
     from ftw_crawler_ray.stages.textstats import repeated_ngrams
 
@@ -461,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "repeated_ngrams": _q_repeated_ngrams,
         "decontaminate": _q_decontaminate,
+        "training_mix": _q_training_mix,
         # rows-only (non-SQL-expressible: cluster labels from LSH
         # collisions, sketch signatures, binary payload plumbing)
         "minhash_dedup": _q_minhash_dedup,
@@ -833,6 +840,67 @@ SELECT s.doc_id, count(*) AS n_hits
 FROM sets s JOIN needles n ON s.gram = n.gram
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
+""",
+        # the composite recipe: quality bounds ∧ language ∧ not
+        # contaminated ∧ deterministic source mix — each predicate is
+        # the SAME formula as its standalone oracle
+        "training_mix": r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+           END AS gs
+    FROM words
+),
+sets AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+needles AS (SELECT DISTINCT gram FROM sets WHERE doc_id % 97 = 0),
+contaminated AS (
+    SELECT DISTINCT s.doc_id FROM sets s JOIN needles n ON s.gram = n.gram
+    WHERE s.doc_id % 97 <> 0
+),
+lwords AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+),
+lhits AS (
+    SELECT doc_id,
+        sum(CASE WHEN w IN ('the','and','of','to','a','in','is','it','you','that')
+                 THEN 1 ELSE 0 END) AS en,
+        sum(CASE WHEN w IN ('der','die','das','und','ist','nicht','ein','mit','zu','den')
+                 THEN 1 ELSE 0 END) AS de,
+        sum(CASE WHEN w IN ('le','la','les','et','est','un','une','des','que','pas')
+                 THEN 1 ELSE 0 END) AS fr
+    FROM lwords GROUP BY doc_id
+),
+scored AS (
+    SELECT d.doc_id, d.source,
+           CASE WHEN coalesce(h.en, 0) = 0 AND coalesce(h.de, 0) = 0
+                     AND coalesce(h.fr, 0) = 0 THEN 'unknown'
+                WHEN h.en >= h.de AND h.en >= h.fr THEN 'en'
+                WHEN h.de >= h.fr THEN 'de'
+                ELSE 'fr' END AS lang_pred,
+           CASE WHEN trim(d.text) = '' THEN 0
+                ELSE len(regexp_split_to_array(
+                         trim(regexp_replace(d.text, '\s+', ' ', 'g')), ' '))
+           END AS n_tokens
+    FROM documents d LEFT JOIN lhits h ON h.doc_id = d.doc_id
+)
+SELECT doc_id, source, lang_pred, n_tokens
+FROM scored
+WHERE doc_id % 97 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND n_tokens BETWEEN 40 AND 2000
+  AND lang_pred IN ('en', 'de', 'fr')
+  AND (doc_id * 2654435761) % 4294967296 % 100
+      < (CAST(substr(source, 4) AS BIGINT) * 7 + 10) % 100
 """,
         # stopword-profile language id: argmax of per-language stopword
         # hits, ties resolved en > de > fr (the engine's dict order

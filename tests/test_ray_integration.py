@@ -320,3 +320,19 @@ class TestPurgeToDelete:
             conn.delete(uid)
         assert len(sent) == 46
         assert _json.loads(sent[0])["delete"]["id"] == uids[0]
+
+
+class TestTrainingRecipe:
+    def test_training_mix_predicates(self, ray_session):
+        """The composite recipe's rows satisfy every ingredient
+        predicate, and it's a strict subset of the plain mix."""
+        from ftw_crawler_ray.pipelines.recipe import training_mix
+        from ftw_crawler_ray.stages.textstats import source_mix
+
+        df = training_mix(SF).to_pandas()
+        assert len(df) > 0
+        assert (df["n_tokens"].between(40, 2000)).all()
+        assert set(df["lang_pred"]) <= {"en", "de", "fr"}
+        assert (df["doc_id"] % 97 != 0).all()
+        mixed = set(source_mix(SF).to_pandas()["doc_id"])
+        assert set(df["doc_id"]) <= mixed
