@@ -439,11 +439,17 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
                   n_perm: int = _N_PERM_DEFAULT, n_bands: int = 16,
                   k: int = 5) -> ray.data.Dataset:
     """Complete near-dup pipeline: LSH candidates → exact-Jaccard
-    verify (candidates ⋈ documents hash joins — nothing broadcast) →
+    verify (candidates ⋈ documents lookup joins — nothing broadcast) →
     distributed connected components (min-label propagation) →
     (doc_id, cluster_id = min doc of component). Every stage's
-    data volume is bounded by max(corpus stream, verified pairs);
-    no driver materialization anywhere."""
+    data volume is bounded by max(corpus stream, candidate pairs);
+    no driver materialization anywhere.
+
+    Cost model (measured, BASELINE.md): wall time is linear in the
+    CANDIDATE PAIR count, and an m-way exact-dup clique contributes
+    O(m²) pairs — so the production composition runs ``dedup_exact``
+    FIRST and near-dups only the per-hash keepers, exactly like the
+    standard training-data pipeline."""
     verified = minhash_verified_pairs(sf_dir, threshold, n_perm, n_bands, k)
     return connected_components(verified.select_columns(["doc_a", "doc_b"]))
 
