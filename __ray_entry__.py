@@ -383,6 +383,12 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(sf_dir, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=16)
 
 
+def _q_dedup_clusters(sf_dir: str):
+    from ftw_crawler_ray.stages.dedup import dedup_clusters
+
+    return dedup_clusters(sf_dir, threshold=0.8)
+
+
 def _q_training_mix(sf_dir: str):
     from ftw_crawler_ray.pipelines.recipe import training_mix
 
@@ -468,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_ngrams": _q_repeated_ngrams,
         "decontaminate": _q_decontaminate,
         "training_mix": _q_training_mix,
+        "dedup_clusters": _q_dedup_clusters,
         # rows-only (non-SQL-expressible: cluster labels from LSH
         # collisions, sketch signatures, binary payload plumbing)
         "minhash_dedup": _q_minhash_dedup,
@@ -840,6 +847,55 @@ SELECT s.doc_id, count(*) AS n_hits
 FROM sets s JOIN needles n ON s.gram = n.gram
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
+""",
+        # production dedup composition: components over exact-dup
+        # edges (md5 keeper → member) ∪ near-dup edges among KEEPERS
+        # (exact word-5-gram Jaccard ≥ 0.8, keeper-restricted grams)
+        "dedup_clusters": r"""
+WITH RECURSIVE md5g AS (SELECT doc_id, md5(text) AS h FROM documents),
+ek AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper FROM md5g),
+exact_edges AS (
+    SELECT keeper AS doc_a, doc_id AS doc_b FROM ek WHERE doc_id <> keeper
+),
+keeperset AS (SELECT DISTINCT keeper AS doc_id FROM ek),
+words AS (
+    SELECT d.doc_id,
+           list_filter(regexp_split_to_array(d.text, '\s+'), w -> w <> '') AS w
+    FROM documents d JOIN keeperset kk ON kk.doc_id = d.doc_id
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+           END AS gs
+    FROM words
+),
+sets AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+    FROM sets a JOIN sets b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM exact_edges
+    UNION ALL SELECT doc_b, doc_a FROM exact_edges
+    UNION ALL SELECT doc_a, doc_b FROM verified
+    UNION ALL SELECT doc_b, doc_a FROM verified
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+)
+SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
 """,
         # the composite recipe: quality bounds ∧ language ∧ not
         # contaminated ∧ deterministic source mix — each predicate is

@@ -201,6 +201,7 @@ def minhash_candidate_pairs(
     n_perm: int = _N_PERM_DEFAULT,
     n_bands: int = 16,
     k: int = 5,
+    docs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """LSH candidate pairs: signature → band explode → groupby
     (band_id, band_hash) → pairs within bucket (deduped, a<b).
@@ -210,9 +211,10 @@ def minhash_candidate_pairs(
     (exact Jaccard) happens on the candidate pairs only.
     """
     rows_per_band = n_perm // n_bands
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    if docs is None:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
     sigs = docs.map_batches(
         MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "k": k},
         batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
@@ -244,7 +246,8 @@ def minhash_candidate_pairs(
     # aggregate pays Python time per distinct key)
     from .util import grouped_pairs
 
-    return grouped_pairs(pairs, "doc_a", "doc_b", alias="n_bands_hit")
+    return grouped_pairs(pairs, "doc_a", "doc_b", alias="n_bands_hit",
+                         num_parts=16)
 
 
 _VERIFY_PARTITIONS = 16
@@ -257,6 +260,7 @@ def minhash_verified_pairs(
     n_bands: int = 16,
     k: int = 5,
     num_partitions: int = _VERIFY_PARTITIONS,
+    docs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """LSH candidates → exact-Jaccard verify via candidates ⋈
     documents lookup joins (one per pair side, groupby-lowered —
@@ -267,16 +271,18 @@ def minhash_verified_pairs(
     downstream. Output: (doc_a, doc_b, jaccard ≥ threshold)."""
     from .util import attach_column
 
-    candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k)
-    docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    if docs is None:
+        docs = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k, docs=docs)
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     with_a = attach_column(
         candidates, docs, item_key="doc_a", lookup_key="doc_id",
         payload_col="text", out_col="text_a",
         item_schema=pair_schema, payload_type=pa.string(),
+        num_parts=num_partitions,
     )
     with_both = attach_column(
         with_a, docs, item_key="doc_b", lookup_key="doc_id",
@@ -286,6 +292,7 @@ def minhash_verified_pairs(
              ("text_a", pa.string())]
         ),
         payload_type=pa.string(),
+        num_parts=num_partitions,
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -392,7 +399,8 @@ def connected_components(
     # grouped_agg, not groupby-aggregate — node counts are corpus-ish
     labels = (
         grouped_agg(edges, "src", "dst", mode="min",
-                    out_key="doc_id", out_value="min_nb")
+                    out_key="doc_id", out_value="min_nb",
+                    num_parts=num_partitions)
         .map_batches(agg_to_labels, batch_format="pyarrow", batch_size=None)
         .materialize()
     )
@@ -414,6 +422,7 @@ def connected_components(
             payload_col="label", out_col="label",
             item_schema=pa.schema([("src", pa.int64())]),
             payload_type=pa.int64(),
+            num_parts=num_partitions,
         ).map_batches(
             lambda t: pa.table(
                 {"doc_id": t["src"], "label": t["label"]}, schema=_label_schema
@@ -422,7 +431,8 @@ def connected_components(
             batch_format="pyarrow", batch_size=None,
         )
         labels = grouped_agg(
-            labels.union(prop), "doc_id", "label", mode="min"
+            labels.union(prop), "doc_id", "label", mode="min",
+            num_parts=num_partitions,
         ).materialize()
         new_sum = label_sum(labels)
         if new_sum == prev_sum:
@@ -585,3 +595,117 @@ def simhash_near_dups(sf_dir: str, radius: int = 3,
 
     return grouped_pairs(pairs, "doc_a", "doc_b", value_col="hamming",
                          mode="min", alias="hamming")
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.8,
+                   n_perm: int = _N_PERM_DEFAULT, n_bands: int = 16,
+                   k: int = 5, num_parts: int = 64) -> ray.data.Dataset:
+    """PRODUCTION dedup composition: exact dedup FIRST (collapses
+    m-way identical-text cliques to one keeper with m-1 edges instead
+    of O(m²) candidate pairs), then MinHash near-dup over the per-hash
+    KEEPERS only, then one connected-component pass over
+    exact-dup ∪ verified-near-dup edges. Output: (doc_id, cluster_id
+    = min doc_id of the combined component) for every doc in ≥1 dup
+    relation — the cost-model-correct pipeline (see minhash_dedup's
+    docstring and BASELINE.md's 200x stress).
+
+    Content key is the first 64 bits of md5(text) (collision odds
+    ~n²/2⁻⁶⁵ — negligible below ~10⁸ distinct texts; widen to the
+    full digest via two int64 columns beyond that)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    _mark_schema = pa.schema(
+        [("key", pa.int64()), ("doc_id", pa.int64()), ("__part", pa.int32())]
+    )
+    _ek_schema = pa.schema(
+        [("kind", pa.string()), ("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        keys = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            keys[i] = (
+                int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                ) - (1 << 63)
+            )
+        part = (
+            (keys.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(num_parts)
+        ).astype(np.int32)
+        return pa.table(
+            {"key": pa.array(keys, pa.int64()),
+             "doc_id": pa.array(ids, pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+            schema=_mark_schema,
+        )
+
+    def exact_groups(group: pa.Table) -> pa.Table:
+        """Per partition: keeper ('k') row per distinct content key +
+        edge ('e') rows keeper→member — numpy group scan."""
+        if group.num_rows == 0 or "key" not in group.column_names:
+            return _ek_schema.empty_table()
+        keys = group["key"].to_numpy().astype(np.int64)
+        ids = group["doc_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        starts = np.nonzero(np.r_[True, np.diff(keys) != 0])[0]
+        group_of = np.repeat(np.arange(len(starts)),
+                             np.diff(np.r_[starts, len(keys)]))
+        keepers = ids[starts]               # min doc per key (sorted)
+        is_keeper = np.zeros(len(ids), dtype=bool)
+        is_keeper[starts] = True
+        kinds = ["k"] * len(keepers) + ["e"] * int((~is_keeper).sum())
+        doc_a = np.concatenate([keepers, keepers[group_of[~is_keeper]]])
+        doc_b = np.concatenate([keepers, ids[~is_keeper]])
+        return pa.table(
+            {"kind": pa.array(kinds, pa.string()),
+             "doc_a": pa.array(doc_a, pa.int64()),
+             "doc_b": pa.array(doc_b, pa.int64())},
+            schema=_ek_schema,
+        )
+
+    groups = (
+        docs.map_batches(mark, batch_format="pyarrow", batch_size=None)
+        .groupby("__part", num_partitions=num_parts)
+        .map_groups(exact_groups, batch_format="pyarrow")
+        .materialize()  # small: one row per doc (kind+2 ints)
+    )
+    exact_edges = groups.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "e")).drop(["kind"])
+        if t.num_rows and "kind" in t.column_names
+        else pa.schema([("doc_a", pa.int64()),
+                        ("doc_b", pa.int64())]).empty_table(),
+        batch_format="pyarrow", batch_size=None,
+    )
+    keepers = groups.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.equal(t["kind"], "k"))["doc_a"]}
+        ) if t.num_rows and "kind" in t.column_names
+        else pa.schema([("doc_id", pa.int64())]).empty_table(),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    from .util import attach_column
+
+    # materialized ONCE: the verify pipeline consumes keeper_texts
+    # three times (signatures + both lookup sides); blocks live in the
+    # object store (spillable), never on the driver
+    keeper_texts = attach_column(
+        keepers, docs, item_key="doc_id", lookup_key="doc_id",
+        payload_col="text", out_col="text",
+        item_schema=pa.schema([("doc_id", pa.int64())]),
+        payload_type=pa.string(),
+        num_parts=16,
+    ).repartition(16).materialize()
+    # ^ coalesce: a 64-partition groupby output is 64+ near-empty
+    # blocks, and block count multiplies TASK count in every
+    # downstream stage (batch_size=None preserves blocks)
+    near_edges = minhash_verified_pairs(
+        sf_dir, threshold, n_perm, n_bands, k, docs=keeper_texts
+    ).select_columns(["doc_a", "doc_b"])
+
+    return connected_components(exact_edges.union(near_edges))

@@ -336,3 +336,37 @@ class TestTrainingRecipe:
         assert (df["doc_id"] % 97 != 0).all()
         mixed = set(source_mix(SF).to_pandas()["doc_id"])
         assert set(df["doc_id"]) <= mixed
+
+
+class TestDedupComposition:
+    def test_exact_first_collapses_cliques(self, ray_session, tmp_path):
+        """dedup_clusters on a corpus with 3-way exact-dup cliques:
+        every clique clusters to its min doc_id, near-dups of the
+        KEEPERS still link across cliques, and the result covers all
+        members."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.stages.dedup import dedup_clusters
+
+        src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+        reps = []
+        for rep in range(3):
+            t = src.set_column(
+                src.column_names.index("doc_id"), "doc_id",
+                pa.compute.add(src["doc_id"], rep * 1_000_003),
+            )
+            reps.append(t)
+        pq.write_table(pa.concat_tables(reps),
+                       str(tmp_path / "documents.parquet"))
+
+        rows = dedup_clusters(str(tmp_path)).take_all()
+        by_doc = {r["doc_id"]: r["cluster_id"] for r in rows}
+        # every doc is in some cluster (3-way exact dups everywhere)
+        assert len(by_doc) == 3 * src.num_rows
+        # each replica clusters with its base doc
+        for base in (0, 1, 2, 10):
+            assert by_doc[base + 1_000_003] == by_doc[base]
+            assert by_doc[base + 2 * 1_000_003] == by_doc[base]
+        # cluster label is the component minimum
+        assert all(c <= d for d, c in by_doc.items())
