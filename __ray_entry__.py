@@ -383,6 +383,12 @@ def _q_ivf_topk(sf_dir: str):
     return ivf_topk(sf_dir, query_ids=[0, 1, 2, 3, 4], k=10, n_probe=16)
 
 
+def _q_strip_boilerplate(sf_dir: str):
+    from ftw_crawler_ray.stages.textstats import strip_repeated_ngrams
+
+    return strip_repeated_ngrams(sf_dir, k=5, min_docs=2)
+
+
 def _q_dedup_clusters(sf_dir: str):
     from ftw_crawler_ray.stages.dedup import dedup_clusters
 
@@ -475,6 +481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "training_mix": _q_training_mix,
         "dedup_clusters": _q_dedup_clusters,
+        "strip_boilerplate": _q_strip_boilerplate,
         # rows-only (non-SQL-expressible: cluster labels from LSH
         # collisions, sketch signatures, binary payload plumbing)
         "minhash_dedup": _q_minhash_dedup,
@@ -847,6 +854,47 @@ SELECT s.doc_id, count(*) AS n_hits
 FROM sets s JOIN needles n ON s.gram = n.gram
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id
+""",
+        # boilerplate removal: words covered by any ≥2-doc 5-gram are
+        # dropped (1-based gram positions cover i..i+4; short docs'
+        # single whole-text gram covers everything)
+        "strip_boilerplate": r"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS w
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, w,
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+           END AS gs
+    FROM words
+),
+sets AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+hot AS (SELECT gram FROM sets GROUP BY gram HAVING count(*) >= 2),
+pos AS (
+    SELECT g.doc_id AS pdoc, unnest(g.gs) AS gram,
+           generate_subscripts(g.gs, 1) AS i, len(g.w) AS nw
+    FROM grams g
+),
+covered AS (
+    SELECT DISTINCT p.pdoc AS cdoc,
+           unnest(CASE WHEN p.nw < 5 THEN range(1, p.nw + 1)
+                       ELSE range(p.i, p.i + 5) END) AS idx
+    FROM pos p JOIN hot h ON p.gram = h.gram
+),
+cov_lists AS (
+    SELECT cdoc, list(idx) AS cov FROM covered GROUP BY cdoc
+)
+SELECT w.doc_id,
+       coalesce(array_to_string(
+           list_filter(w.w, (x, i) -> cov.cov IS NULL
+                                     OR NOT list_contains(cov.cov, i)), ' '),
+           '') AS clean_text,
+       coalesce(len(cov.cov), 0) AS n_removed
+FROM words w LEFT JOIN cov_lists cov ON cov.cdoc = w.doc_id
 """,
         # production dedup composition: components over exact-dup
         # edges (md5 keeper → member) ∪ near-dup edges among KEEPERS

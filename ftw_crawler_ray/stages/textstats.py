@@ -367,3 +367,77 @@ def decontaminate(sf_dir: str, k: int = 5,
 
     return docs.map_batches(Matcher, batch_format="pyarrow",
                             batch_size=None, concurrency=(1, 4))
+
+
+@ray.remote
+def _hot_gram_hashes(path: str, k: int, min_docs: int):
+    """Worker task: gram hashes appearing in ≥ min_docs distinct
+    docs. The HOT set is boilerplate-sized (small) even when the
+    corpus is not — at full scale this task is replaced by collecting
+    the distributed repeated_ngrams output; the broadcast contract
+    (a set of int hashes) is identical."""
+    import pyarrow.parquet as pq
+
+    from .dedup import shingles
+
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    cache: dict[str, int] = {}
+    count: dict[int, int] = {}
+    for text in t["text"].to_pylist():
+        for h in set(shingles(text, k, cache).tolist()):
+            count[h] = count.get(h, 0) + 1
+    return {h for h, c in count.items() if c >= min_docs}
+
+
+def strip_repeated_ngrams(sf_dir: str, k: int = 5,
+                          min_docs: int = 5) -> ray.data.Dataset:
+    """Boilerplate REMOVAL (the companion of repeated_ngrams):
+    drop every word covered by a k-gram that appears in ≥ min_docs
+    documents. The hot-gram set broadcasts once; each doc's coverage
+    mask is a vectorized span-or over its shingle positions — no
+    shuffle. Output: (doc_id, clean_text, n_removed)."""
+    from .dedup import MinHasher, shingles
+
+    hot_ref = _hot_gram_hashes.remote(
+        f"{sf_dir}/documents.parquet", k, min_docs
+    )
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    class Stripper:
+        def __init__(self):
+            self.hot = None
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.hot is None:
+                import ray as _ray
+
+                self.hot = _ray.get(hot_ref)
+            if len(self.cache) > MinHasher._CACHE_LIMIT:
+                self.cache.clear()
+            ids, cleaned, removed = [], [], []
+            for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                    batch["text"].to_pylist()):
+                words = text.split()
+                hashes = shingles(text, k, self.cache)
+                kk = min(k, max(1, len(words)))
+                mask = np.zeros(len(words), dtype=bool)
+                for i, h in enumerate(hashes.tolist()):
+                    if h in self.hot:
+                        mask[i:i + kk] = True
+                kept = [w for w, m in zip(words, mask) if not m]
+                ids.append(doc_id)
+                cleaned.append(" ".join(kept))
+                removed.append(int(mask.sum()))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "clean_text": pa.array(cleaned, pa.string()),
+                    "n_removed": pa.array(removed, pa.int64()),
+                }
+            )
+
+    return docs.map_batches(Stripper, batch_format="pyarrow",
+                            batch_size=None, concurrency=(1, 4))

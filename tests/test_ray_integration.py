@@ -370,3 +370,30 @@ class TestDedupComposition:
             assert by_doc[base + 2 * 1_000_003] == by_doc[base]
         # cluster label is the component minimum
         assert all(c <= d for d, c in by_doc.items())
+
+
+class TestBoilerplateRemoval:
+    def test_strip_removes_shared_passages_only(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.stages.textstats import strip_repeated_ngrams
+
+        boiler = "subscribe to our newsletter for weekly updates now"
+        texts = [f"unique document body number {i} " + boiler
+                 for i in range(6)] + ["a fully unique document body here"]
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(7), pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            str(tmp_path / "documents.parquet"),
+        )
+        df = strip_repeated_ngrams(str(tmp_path), k=5, min_docs=5).to_pandas()
+        by = df.set_index("doc_id")
+        # the shared passage vanished from every sharing doc
+        for i in range(6):
+            assert "newsletter" not in by.loc[i, "clean_text"]
+            assert f"number {i}" in by.loc[i, "clean_text"]
+            assert by.loc[i, "n_removed"] >= 8
+        # the unique doc is untouched
+        assert by.loc[6, "clean_text"] == "a fully unique document body here"
+        assert by.loc[6, "n_removed"] == 0
