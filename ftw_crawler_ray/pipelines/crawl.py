@@ -466,7 +466,7 @@ class FetchActor:
 
 
 def fetch_pool(scheduled: ray.data.Dataset, sf_dir: str,
-               concurrency=(2, 64), batch_size: int = 2048) -> ray.data.Dataset:
+               concurrency=(1, 64), batch_size: int = 2048) -> ray.data.Dataset:
     """Plan → FetchActor pool → resource rows (no shuffle)."""
 
     def scheduled_only(batch: pa.Table) -> pa.Table:

@@ -199,7 +199,7 @@ class HttpFetchActor:
         return pa.table(rows, schema=FETCH_OUTPUT_SCHEMA)
 
 
-def http_fetch_pool(plan, concurrency=(2, 16), batch_size: int = 256,
+def http_fetch_pool(plan, concurrency=(1, 16), batch_size: int = 256,
                     **actor_kwargs):
     """Plan → HttpFetchActor pool → resource rows (no shuffle); the
     production twin of pipelines.crawl.fetch_pool."""
