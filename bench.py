@@ -32,6 +32,32 @@ import sys
 import time
 
 
+def _quiet_known_schema_warning() -> None:
+    """Filter Ray 2.49's 'RefBundle with a different schema …
+    new schema: .' executor warning. Investigated (round 3): the
+    schemaless empty bundles originate INSIDE Ray's sort-based
+    shuffle — with a fixed-partition key (64 distinct ``__part``
+    values) the sampled range boundaries tie, producing empty sort
+    ranges, and ``map_groups``'s wrapper yields nothing for an empty
+    block (the UDF is never invoked), so the empty output block
+    carries no schema. Every UDF in this repo returns typed
+    ``schema.empty_table()`` on its own empty inputs, and every join
+    input is ``ensure_schema``-normalized (the actual crash defense);
+    the residual warning is plan noise from Ray internals with no
+    data-side fix (verified: sentinel rows in every partition do not
+    remove it)."""
+    import logging
+
+    class _DropSchemaWarn(logging.Filter):
+        def filter(self, record):
+            return ("RefBundle with a different schema"
+                    not in record.getMessage())
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropSchemaWarn())
+
+
 def _run_bench() -> dict:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,6 +82,7 @@ def _run_bench() -> dict:
     from ray.data.context import ShuffleStrategy
 
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    _quiet_known_schema_warning()
 
     from ftw_crawler_ray.pipelines.crawl import fetch_pool, scheduled_frontier
     from ftw_crawler_ray.pipelines.extract import (

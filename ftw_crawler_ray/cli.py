@@ -156,5 +156,80 @@ def main(argv=None) -> int:
     return 0
 
 
+def crawl_main(argv=None) -> int:
+    """The reference's ``crawl config.py [url]`` console script
+    (reference setup.py:55-58, __init__.py:9-27): positional config,
+    optional single URL, --tika/--solr/--slacktoken/--slackchannel/
+    -f — driving the production ``crawl_live`` over real HTTP."""
+    parser = argparse.ArgumentParser(prog="crawl")
+    parser.add_argument("config", help="Path to the config file")
+    parser.add_argument("url", nargs="?", default=None,
+                        help="If given, only index the supplied URL")
+    parser.add_argument("--tika", help="Base URL to Tika",
+                        metavar="TIKA_URL", default=None)
+    parser.add_argument("--solr", help="Base URL to Solr",
+                        metavar="SOLR_URL", default=None)
+    parser.add_argument("--slacktoken", help="Token for Slack messages",
+                        default=None)
+    parser.add_argument("--slackchannel", help="Channel for Slack messages",
+                        default=None)
+    parser.add_argument("-f", "--force", action="store_true",
+                        help="Force crawling even if documents haven't "
+                             "been modified")
+    parser.add_argument("--out", default="./crawl-out",
+                        help="output directory (docs/plan/index_state)")
+    parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--num-shards", type=int, default=4)
+    parser.add_argument("--num-cpus", type=int, default=8)
+    parser.add_argument("--log-dir", default=None)
+    args = parser.parse_args(argv)
+
+    if args.log_dir:
+        from .log import setup_logging
+
+        setup_logging(args.log_dir)
+
+    from .config import load_config
+
+    config = load_config(args.config)
+    converter = None
+    if args.tika:
+        from .converters import DispatchConverter, TikaConverter
+
+        converter = DispatchConverter(binary=TikaConverter(args.tika))
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        from .pipelines.live import crawl_live
+
+        try:
+            summary = crawl_live(
+                config.sites,
+                args.out,
+                config=config,
+                converter=converter,
+                num_shards=args.num_shards,
+                checkpoint_dir=args.checkpoint_dir,
+                force=args.force,
+                single_url=args.url,
+                solr_url=args.solr,
+            )
+        except Exception as ex:
+            # reference main.py:83-87: notify Slack, then propagate
+            if args.slacktoken and args.slackchannel:
+                from .slack import SlackLogger
+
+                site = (config.sites[0] if config.sites
+                        else type("S", (), {"url": "?"})())
+                SlackLogger(args.slacktoken).logError(
+                    ex, site, args.slackchannel
+                )
+            raise
+        print(json.dumps(summary))
+    finally:
+        ray.shutdown()
+    return 0
+
+
 if __name__ == "__main__":
     sys.exit(main())

@@ -169,8 +169,10 @@ class TitleExtractor(MetadataExtractor, HTTPHeaderExtractor, URLInfoExtractor):
     Content-Disposition filename → url slug; whitespace-normalized."""
 
     def _extract_title(self, resource_info):
-        if "X-Document-Title" in resource_info.headers:
-            header_value = resource_info.headers["X-Document-Title"]
+        # Reference headers are a requests CaseInsensitiveDict
+        # (reference extractors.py:199) — lookups must ignore casing.
+        header_value = _header_lookup(resource_info.headers, "X-Document-Title")
+        if header_value is not None:
             return base64.b64decode(header_value).decode("utf-8").strip()
 
         try:
@@ -242,10 +244,11 @@ class LastModifiedExtractor(URLInfoExtractor, HTTPHeaderExtractor):
         cache = getattr(resource_info, "cache", None)
         if cache is not None and "lastmod_dt" in cache:
             return cache["lastmod_dt"]
+        last_modified = _header_lookup(resource_info.headers, "Last-Modified")
         if "lastmod" in resource_info.url_info:
             value = from_iso_datetime(resource_info.url_info["lastmod"])
-        elif "last-modified" in resource_info.headers:
-            value = from_iso_datetime(resource_info.headers["last-modified"])
+        elif last_modified is not None:
+            value = from_iso_datetime(last_modified)
         else:
             value = IndexingTimeExtractor().extract_value(resource_info)
         if cache is not None:
@@ -257,10 +260,9 @@ class FilenameExtractor(HTTPHeaderExtractor):
     """X12 — filename from Content-Disposition (reference :347-360)."""
 
     def extract_value(self, resource_info):
-        if "content-disposition" in resource_info.headers:
-            filename = parse_content_disposition_filename(
-                resource_info.headers["content-disposition"]
-            )
+        disposition = _header_lookup(resource_info.headers, "Content-Disposition")
+        if disposition is not None:
+            filename = parse_content_disposition_filename(disposition)
             if filename is not None:
                 return filename
         raise NoValueExtracted
@@ -332,7 +334,7 @@ class HeaderMappingExtractor(HTTPHeaderExtractor):
         raise NoValueExtracted
 
     def extract_value(self, resource_info):
-        header_value = resource_info.headers.get(self.header_name)
+        header_value = _header_lookup(resource_info.headers, self.header_name)
         if header_value is None:
             return self._default_or_raise()
         if self.header_name.lower() == "content-type":

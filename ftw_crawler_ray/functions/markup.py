@@ -270,8 +270,11 @@ def _regex_child_text(text: str, parent_tag: str, attr: str, value: str,
     rx = _PARENT_RX_CACHE.get(key)
     if rx is None:
         v = re.escape(value)
+        # The attr name must be preceded by a delimiter (tag whitespace
+        # or a quote closing the previous attribute) — otherwise
+        # ``data-id="content"`` would satisfy ``@id='content'``.
         rx = re.compile(
-            rf"<{re.escape(parent_tag)}\s[^<>]*?{re.escape(attr)}"
+            rf"<{re.escape(parent_tag)}\s(?:[^<>]*?[\s\"'])?{re.escape(attr)}"
             rf"\s*=\s*(?:\"({v})\"|'({v})'|({v})(?=[\s/>]))[^<>]*>"
         )
         _PARENT_RX_CACHE[key] = rx

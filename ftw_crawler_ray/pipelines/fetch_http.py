@@ -52,6 +52,10 @@ FETCH_OUTPUT_SCHEMA = pa.schema(
         ("html", pa.binary()),
         ("text", pa.string()),
         ("content_type", pa.string()),
+        # full response headers (reference fetcher.py:75 hands
+        # response.headers to the extractors: X-Document-Title,
+        # Content-Disposition, Last-Modified all flow from here)
+        ("headers", pa.map_(pa.string(), pa.string())),
         ("site_id", pa.string()),
         ("doc_id", pa.int64()),
         ("fetch_status", pa.string()),
@@ -112,9 +116,10 @@ class HttpFetchActor:
         return True
 
     def fetch_one(self, url: str, lastmod: str | None = None,
-                  last_indexed=None) -> tuple[bytes, str]:
-        """GET one url → (body, content_type); raises NotModified /
-        AttemptedRedirect / FetchingError exactly like the reference."""
+                  last_indexed=None) -> tuple[bytes, str, dict]:
+        """GET one url → (body, content_type, headers); raises
+        NotModified / AttemptedRedirect / FetchingError exactly like
+        the reference."""
         if not self.force and not self.is_modified(url, lastmod, last_indexed):
             raise NotModified(url)
 
@@ -146,10 +151,12 @@ class HttpFetchActor:
                 f"Could not fetch {url}. Got status {response.status_code}"
             )
         content_type = get_content_type(response.headers.get("Content-Type"))
-        return response.content, content_type
+        return response.content, content_type, dict(response.headers)
 
     # -- batch contract ----------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import requests
+
         offsets = None
         if self.pace_from is not None and "planned_offset" in batch.column_names:
             batch = batch.sort_by("planned_offset")
@@ -169,14 +176,24 @@ class HttpFetchActor:
                 wait = (self.pace_from + offsets[i]) - time.time()
                 if wait > 0:
                     time.sleep(wait)
-            body, ctype, status = None, None, "fetched"
+            body, ctype, headers, status = None, None, None, "fetched"
             try:
-                body, ctype = self.fetch_one(url, lastmods[i], last_indexed[i])
+                body, ctype, headers = self.fetch_one(
+                    url, lastmods[i], last_indexed[i]
+                )
             except NotModified:
                 status = "not_modified"
             except AttemptedRedirect:
                 status = "redirect"
             except FetchingError:
+                status = "fetch_error"
+            except requests.RequestException:
+                # dead host / timeout / connection reset — routine in a
+                # live crawl; quarantine the row, never the Ray task
+                status = "fetch_error"
+            except (ValueError, OverflowError):
+                # malformed sitemap lastmod or last-modified header
+                # escaping the date parsers
                 status = "fetch_error"
             rows["url"].append(url)
             rows["lastmod"].append(lastmods[i])
@@ -193,6 +210,9 @@ class HttpFetchActor:
             rows["html"].append(body)
             rows["text"].append(None)  # conversion is the engine's job
             rows["content_type"].append(ctype)
+            rows["headers"].append(
+                list(headers.items()) if headers is not None else None
+            )
             rows["site_id"].append(host_of(url))
             rows["doc_id"].append(-1)
             rows["fetch_status"].append(status)

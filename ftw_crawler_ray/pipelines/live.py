@@ -79,6 +79,9 @@ def crawl_live(
     pace: bool = False,
     base_sleeptime: float = 0.1,
     fetch_timeout: float = 10.0,
+    single_url: str | None = None,
+    solr_url: str | None = None,
+    solr_transport_factory=None,
 ) -> dict:
     """Full production crawl over HTTP; returns the summary dict
     (same shape as the corpus ``crawl()``).
@@ -93,6 +96,9 @@ def crawl_live(
     from .extract import corpus_config
 
     fetch = fetch or RequestsFetch(timeout=fetch_timeout)
+    if single_url is not None:
+        # reference main.py:76-77: skip non-matching sites entirely
+        sites = [s for s in sites if single_url.startswith(s.url)]
     for sub in ("plan", "docs", "index_state"):
         shutil.rmtree(f"{out_dir}/{sub}", ignore_errors=True)
 
@@ -125,6 +131,14 @@ def crawl_live(
     frontier = frontier_from_sites(sites, fetch).map_batches(
         to_schedule_cols, batch_format="pyarrow", batch_size=None
     )
+    if single_url is not None:
+        # reference main.py:117-119: within the site, every
+        # non-matching url_info is skipped
+        target = single_url
+        frontier = frontier.map_batches(
+            lambda t: t.filter(pc.equal(t["url"], target)),
+            batch_format="pyarrow", batch_size=None,
+        )
     index_state = None
     if index_state_dir is not None:
         index_state = ray.data.read_parquet(index_state_dir).map_batches(
@@ -199,10 +213,27 @@ def crawl_live(
             batch_format="pyarrow", batch_size=None,
         ).write_parquet(f"{out_dir}/index_state")
 
+    n_solr_indexed = 0
+    if solr_url is not None and fetch_counts.get("fetched", 0) > 0:
+        # S9 live indexing — same actor-pool posting as the corpus
+        # crawl (pipelines/crawl.py S9 block)
+        from ..sinks import SolrIndexer
+
+        counts = ray.data.read_parquet(f"{out_dir}/docs").map_batches(
+            lambda t: t.filter(pc.equal(t["fetch_status"], "fetched")),
+            batch_format="pyarrow", batch_size=None,
+        ).map_batches(
+            SolrIndexer,
+            fn_constructor_args=(solr_url, solr_transport_factory),
+            batch_format="pyarrow", batch_size=512, concurrency=(1, 4),
+        ).to_pandas()
+        n_solr_indexed = int(counts["n"].sum()) if len(counts) else 0
+
     return {
         "plan_counts": plan_counts,
         "fetch_counts": fetch_counts,
         "n_extracted": fetch_counts.get("fetched", 0),
+        "n_solr_indexed": n_solr_indexed,
         "out_dir": out_dir,
         "checkpoint_dir": checkpoint_dir,
         "num_shards": num_shards,

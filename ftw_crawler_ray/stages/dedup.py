@@ -24,7 +24,6 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -38,19 +37,75 @@ def _md5_hex_column(batch: pa.Table, col: str = "text") -> pa.Table:
     return batch.append_column("text_md5", pa.array(hashes, pa.string()))
 
 
-def dedup_exact(sf_dir: str) -> ray.data.Dataset:
+def dedup_exact(sf_dir: str, num_parts: int = 64) -> ray.data.Dataset:
     """Exact dedup: md5(text) groups → keeper = min doc_id, dup count.
-    The md5 column is computed batch-local; the groupby shuffles only
-    (hash, doc_id) pairs, not the text."""
+
+    Distinct keys = distinct TEXTS (corpus cardinality), so this is
+    lowered to the fixed-partition shape, NOT ``groupby(md5)
+    .aggregate`` (Ray pays Python time per distinct key — the
+    CLAUDE.md anti-pattern): per-batch numpy pre-combine → shuffle on
+    ``md5_64 % num_parts`` → lexsort+reduceat per partition. The
+    shuffle carries (hex, keeper, count) per distinct text — never
+    the text. Grouping compares the FULL hex digest (the int64 prefix
+    only routes partitions), so results are exact."""
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    hashed = docs.map_batches(_md5_hex_column, batch_format="pyarrow", batch_size=None).select_columns(
-        ["doc_id", "text_md5"]
+    mid = pa.schema(
+        [("text_md5", pa.string()), ("keep_doc_id", pa.int64()),
+         ("n_dups", pa.int64()), ("__part", pa.int32())]
     )
-    return hashed.groupby("text_md5").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"),
-        Count(alias_name="n_dups"),
+    out_schema = pa.schema(
+        [("text_md5", pa.string()), ("keep_doc_id", pa.int64()),
+         ("n_dups", pa.int64())]
+    )
+
+    def _reduce(md5s: np.ndarray, keep: np.ndarray, n: np.ndarray):
+        order = np.lexsort((keep, md5s))
+        md5s, keep, n = md5s[order], keep[order], n[order]
+        starts = np.nonzero(np.r_[True, md5s[1:] != md5s[:-1]])[0]
+        return (md5s[starts], np.minimum.reduceat(keep, starts),
+                np.add.reduceat(n, starts))
+
+    def precombine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.column_names:
+            return mid.empty_table()
+        ids = t["doc_id"].to_numpy().astype(np.int64)
+        md5s = np.empty(len(ids), dtype="U32")
+        for i, txt in enumerate(t["text"].to_pylist()):
+            md5s[i] = hashlib.md5(txt.encode("utf-8")).hexdigest()
+        md5_u, keep, n = _reduce(md5s, ids, np.ones(len(ids), np.int64))
+        # partition by the first 16 hex chars (64-bit prefix)
+        keys = np.array([int(m[:16], 16) for m in md5_u], dtype=np.uint64)
+        part = (
+            (keys * np.uint64(2654435761)) % np.uint64(num_parts)
+        ).astype(np.int32)
+        return pa.table(
+            {"text_md5": pa.array(md5_u, pa.string()),
+             "keep_doc_id": pa.array(keep, pa.int64()),
+             "n_dups": pa.array(n, pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid,
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "text_md5" not in group.column_names:
+            return out_schema.empty_table()
+        md5s = np.asarray(group["text_md5"].to_pylist(), dtype="U32")
+        keep = group["keep_doc_id"].to_numpy().astype(np.int64)
+        n = group["n_dups"].to_numpy().astype(np.int64)
+        md5_u, keep, n = _reduce(md5s, keep, n)
+        return pa.table(
+            {"text_md5": pa.array(md5_u, pa.string()),
+             "keep_doc_id": pa.array(keep, pa.int64()),
+             "n_dups": pa.array(n, pa.int64())},
+            schema=out_schema,
+        )
+
+    return (
+        docs.map_batches(precombine, batch_format="pyarrow", batch_size=None)
+        .groupby("__part", num_partitions=num_parts)
+        .map_groups(finalize, batch_format="pyarrow")
     )
 
 
@@ -203,11 +258,13 @@ def minhash_candidate_pairs(
     k: int = 5,
     docs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
-    """LSH candidate pairs: signature → band explode → groupby
-    (band_id, band_hash) → pairs within bucket (deduped, a<b).
+    """LSH candidate pairs: signature → band explode → fixed-partition
+    bucket shuffle → vectorized within-bucket pairs (deduped, a<b).
 
-    The groupby is the one shuffle; bucket skew is bounded because a
-    bucket is an exact band-hash collision set. Verification
+    Bucket pair generation is the ``util.bucket_pairs`` lowering —
+    NEVER ``groupby(bucket).map_groups`` (distinct buckets ≈ docs ×
+    bands; Ray pays Python dispatch per group). Bucket skew is bounded
+    because a bucket is an exact band-hash collision set; verification
     (exact Jaccard) happens on the candidate pairs only.
     """
     rows_per_band = n_perm // n_bands
@@ -224,28 +281,13 @@ def minhash_candidate_pairs(
         batch_format="pyarrow", batch_size=None,
     )
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))
-        a_ids, b_ids = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_ids.append(ids[i])
-                b_ids.append(ids[j])
-        return pa.table(
-            {
-                "doc_a": pa.array(a_ids, pa.int64()),
-                "doc_b": pa.array(b_ids, pa.int64()),
-            }
-        )
+    from .util import bucket_pairs, grouped_pairs
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        pairs_in_bucket, batch_format="pyarrow"
-    )
+    pairs = bucket_pairs(bands, ["band_id", "band_hash"], "doc_id",
+                         num_parts=16)
     # distinct pairs (a pair can collide in several bands) — numpy
     # pair-dedup, not groupby-aggregate (see util.grouped_pairs: Ray's
     # aggregate pays Python time per distinct key)
-    from .util import grouped_pairs
-
     return grouped_pairs(pairs, "doc_a", "doc_b", alias="n_bands_hit",
                          num_parts=16)
 
@@ -338,111 +380,296 @@ def minhash_verified_pairs(
     return with_both.map_batches(verify, batch_format="pyarrow", batch_size=None)
 
 
+def _cc_owner(nodes: np.ndarray, num_parts: int) -> np.ndarray:
+    """Partition owner of each node id (same multiplicative hash as
+    the util.py fixed-partition shuffles)."""
+    return (
+        (nodes.astype(np.uint64) * np.uint64(2654435761))
+        % np.uint64(num_parts)
+    ).astype(np.int64)
+
+
+@ray.remote(num_cpus=0)
+class _CCShard:
+    """One hash partition of the connected-components graph.
+
+    Iterative label propagation is the one semantics Ray's Dataset
+    API genuinely cannot express efficiently: each convergence round
+    as a Dataset groupby costs a full shuffle execution (seconds of
+    fixed overhead per round, measured 6-20 s in this sandbox), so a
+    10-round loop pays minutes for milliseconds of real work. Instead
+    the graph lives sharded across ``num_parts`` long-lived actors
+    (partitioning assumption: node ownership by multiplicative hash,
+    identical to the util.py shuffles) and a round is one
+    actor-to-actor message exchange:
+
+    - **seal()**: local union-find over intra-partition edges (path
+      halving), so a whole local subcomponent collapses to one root
+      before any round runs. Cross-partition edges become persistent
+      (root → remote node) send-pairs.
+    - **emit()**: for every send-pair whose root's label changed (or
+      that was newly added), push ``(remote_node, label)`` to the
+      remote node's owner — direct actor-to-actor, never through the
+      driver. Pointer doubling: when a root learns a non-self label
+      L, it subscribes to owner(L), which adds a persistent
+      (root(L) → rep) send-pair — label paths halve every round, so
+      rounds-to-converge is O(log diameter).
+    - **apply()**: fold the inbox into per-root labels with
+      ``np.minimum.at``; report how many roots changed. The driver
+      only ferries the per-round "any changes?" bit.
+
+    ``num_cpus=0`` lets every shard co-schedule even on small
+    clusters; per-round bursts are short and vectorized.
+    """
+
+    def __init__(self, part_id: int, num_parts: int):
+        self.part = part_id
+        self.P = num_parts
+        self._src: list[np.ndarray] = []
+        self._dst: list[np.ndarray] = []
+        self.peers = None
+        self._in_nodes: list[np.ndarray] = []
+        self._in_labels: list[np.ndarray] = []
+        self._in_sub_t: list[np.ndarray] = []
+        self._in_sub_r: list[np.ndarray] = []
+
+    def set_peers(self, peers) -> None:
+        self.peers = peers
+
+    def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        self._src.append(np.asarray(src, dtype=np.int64))
+        self._dst.append(np.asarray(dst, dtype=np.int64))
+
+    def seal(self) -> int:
+        src = (np.concatenate(self._src) if self._src
+               else np.empty(0, np.int64))
+        dst = (np.concatenate(self._dst) if self._dst
+               else np.empty(0, np.int64))
+        self._src = self._dst = None  # type: ignore[assignment]
+        self.ids = np.unique(src)  # sorted owned node ids
+        n = len(self.ids)
+        local = _cc_owner(dst, self.P) == self.part
+        # union-find (path halving); roots end at the min local index,
+        # and ids is ascending, so ids[root] is the component's min
+        # owned id
+        parent = np.arange(n, dtype=np.int64)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        ls = np.searchsorted(self.ids, src[local])
+        ld = np.searchsorted(self.ids, dst[local])
+        for a, b in zip(ls.tolist(), ld.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        self.root = np.array([find(i) for i in range(n)], dtype=np.int64)
+        # label per node slot, meaningful at ROOT slots only
+        self.lab = self.ids.copy()
+        # persistent send-pairs (root slot → remote target id)
+        cr = self.root[np.searchsorted(self.ids, src[~local])]
+        ct = dst[~local]
+        if len(cr):
+            u = np.unique(np.stack([cr, ct]), axis=1)
+            cr, ct = u[0], u[1]
+        self._pair_root = [cr]
+        self._pair_tgt = [ct]
+        self._pair_seen = set(zip(cr.tolist(), ct.tolist()))
+        self._sent_until = 0  # pairs before this obey the dirty rule
+        self.dirty = np.zeros(n, dtype=bool)
+        if n:
+            self.dirty[np.unique(self.root)] = True
+        self._subscribed: set = set()
+        return n
+
+    def _recv_arrays(self, nodes, labels, sub_t, sub_r) -> None:
+        if len(nodes):
+            self._in_nodes.append(np.asarray(nodes, dtype=np.int64))
+            self._in_labels.append(np.asarray(labels, dtype=np.int64))
+        if len(sub_t):
+            self._in_sub_t.append(np.asarray(sub_t, dtype=np.int64))
+            self._in_sub_r.append(np.asarray(sub_r, dtype=np.int64))
+
+    def recv(self, nodes, labels, sub_t, sub_r) -> None:
+        self._recv_arrays(nodes, labels, sub_t, sub_r)
+
+    def emit(self) -> list:
+        pair_root = np.concatenate(self._pair_root)
+        pair_tgt = np.concatenate(self._pair_tgt)
+        self._pair_root = [pair_root]
+        self._pair_tgt = [pair_tgt]
+        su = self._sent_until
+        old_send = np.nonzero(self.dirty[pair_root[:su]])[0]
+        idx = np.concatenate([old_send, np.arange(su, len(pair_root))])
+        tgts = pair_tgt[idx]
+        vals = self.lab[pair_root[idx]]
+        self._sent_until = len(pair_root)
+        # pointer-doubling subscriptions from roots that changed
+        sub_t_l: list[int] = []
+        sub_r_l: list[int] = []
+        for r in np.nonzero(self.dirty)[0].tolist():
+            lbl = int(self.lab[r])
+            if lbl == int(self.ids[r]):
+                continue
+            key = (r, lbl)
+            if key in self._subscribed:
+                continue
+            self._subscribed.add(key)
+            sub_t_l.append(lbl)
+            sub_r_l.append(int(self.ids[r]))
+        self.dirty[:] = False
+        sub_t = np.array(sub_t_l, dtype=np.int64)
+        sub_r = np.array(sub_r_l, dtype=np.int64)
+        refs = []
+        tgt_part = _cc_owner(tgts, self.P)
+        sub_part = _cc_owner(sub_t, self.P)
+        for p in np.unique(np.concatenate([tgt_part, sub_part])).tolist():
+            tm = tgt_part == p
+            sm = sub_part == p
+            if p == self.part:
+                self._recv_arrays(tgts[tm], vals[tm], sub_t[sm], sub_r[sm])
+            else:
+                refs.append(
+                    self.peers[p].recv.remote(
+                        tgts[tm], vals[tm], sub_t[sm], sub_r[sm]
+                    )
+                )
+        return refs
+
+    def apply(self) -> int:
+        changed = 0
+        if self._in_nodes:
+            nodes = np.concatenate(self._in_nodes)
+            labels = np.concatenate(self._in_labels)
+            self._in_nodes = []
+            self._in_labels = []
+            pos = np.searchsorted(self.ids, nodes)
+            roots = self.root[pos]
+            before = self.lab[roots].copy()
+            np.minimum.at(self.lab, roots, labels)
+            got_smaller = self.lab[roots] < before
+            if got_smaller.any():
+                hit = np.unique(roots[got_smaller])
+                self.dirty[hit] = True
+                changed = len(hit)
+        if self._in_sub_t:
+            sub_t = np.concatenate(self._in_sub_t)
+            sub_r = np.concatenate(self._in_sub_r)
+            self._in_sub_t = []
+            self._in_sub_r = []
+            roots = self.root[np.searchsorted(self.ids, sub_t)]
+            add_r: list[int] = []
+            add_t: list[int] = []
+            for r, tgt in zip(roots.tolist(), sub_r.tolist()):
+                key = (r, tgt)
+                if key not in self._pair_seen:
+                    self._pair_seen.add(key)
+                    add_r.append(r)
+                    add_t.append(tgt)
+            if add_r:
+                self._pair_root.append(np.array(add_r, dtype=np.int64))
+                self._pair_tgt.append(np.array(add_t, dtype=np.int64))
+        return changed
+
+    def result(self) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()),
+                            ("cluster_id", pa.int64())])
+        if not len(self.ids):
+            return schema.empty_table()
+        return pa.table(
+            {"doc_id": pa.array(self.ids, pa.int64()),
+             "cluster_id": pa.array(self.lab[self.root], pa.int64())},
+            schema=schema,
+        )
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     num_partitions: int = _VERIFY_PARTITIONS,
     max_iter: int = 50,
 ) -> ray.data.Dataset:
     """(doc_a, doc_b) edges → (doc_id, cluster_id = min doc_id of the
-    component), computed as distributed min-label propagation to a
-    fixed point: each round every node takes the min of its own label
-    and its neighbors' labels (edges ⋈ labels lookup join +
-    groupby-min), until no label changes. Rounds needed = component
-    diameter (near-dup clusters are short chains); work per round =
-    O(edges) through two sort-shuffle groupbys — no driver-side
-    union-find and no whole corpus on any single node. Convergence is
-    detected by the label SUM: labels shrink monotonically, so the
-    fixed point is exactly 'sum unchanged' — one cheap aggregate per
-    round, no compare join."""
-    from ray.data.aggregate import Sum as AggSum
-
-    from .util import attach_column, ensure_schema
-
+    component), computed on a sharded-actor graph (see _CCShard):
+    edges scatter once into ``num_partitions`` hash-owned shards (a
+    map_batches pass — the driver never sees the edge list), each
+    shard collapses its local subgraph with union-find, and
+    cross-shard min-label exchange with pointer doubling converges in
+    O(log diameter) rounds of millisecond actor messages — no Dataset
+    shuffle per round. Work per round = O(changed cross pairs); the
+    driver ferries only the converged? bit. Exhausting ``max_iter``
+    without converging raises (wrong cluster ids must never be
+    silent); with doubling, 50 rounds cover diameter ~2^50."""
     _edge_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
-    _label_schema = pa.schema([("doc_id", pa.int64()), ("label", pa.int64())])
 
     def to_edges(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "doc_a" not in t.column_names:
             return _edge_schema.empty_table()
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
         return pa.table(
-            {
-                "src": pa.concat_arrays(
-                    [t["doc_a"].combine_chunks().cast(pa.int64()),
-                     t["doc_b"].combine_chunks().cast(pa.int64())]
-                ),
-                "dst": pa.concat_arrays(
-                    [t["doc_b"].combine_chunks().cast(pa.int64()),
-                     t["doc_a"].combine_chunks().cast(pa.int64())]
-                ),
-            }
+            {"src": pa.array(np.concatenate([a, b]), pa.int64()),
+             "dst": pa.array(np.concatenate([b, a]), pa.int64())},
+            schema=_edge_schema,
         )
 
-    edges = pairs.map_batches(
-        to_edges, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    shards = [
+        _CCShard.remote(p, num_partitions) for p in range(num_partitions)
+    ]
+    try:
+        ray.get([s.set_peers.remote(shards) for s in shards])
 
-    from .util import grouped_agg
+        def scatter(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "src" not in t.column_names:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            src = t["src"].to_numpy().astype(np.int64)
+            dst = t["dst"].to_numpy().astype(np.int64)
+            part = _cc_owner(src, num_partitions)
+            refs = []
+            for p in np.unique(part).tolist():
+                m = part == p
+                refs.append(shards[p].add_edges.remote(src[m], dst[m]))
+            ray.get(refs)
+            return pa.table({"n": pa.array([len(src)], pa.int64())})
 
-    def agg_to_labels(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return _label_schema.empty_table()
-        return pa.table(
-            {
-                "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
-                "label": pc.min_element_wise(t["doc_id"], t["min_nb"]).cast(
-                    pa.int64()
-                ),
-            }
-        )
-
-    # init fused with round 1: label(x) = min(x, min neighbor);
-    # grouped_agg, not groupby-aggregate — node counts are corpus-ish
-    labels = (
-        grouped_agg(edges, "src", "dst", mode="min",
-                    out_key="doc_id", out_value="min_nb",
-                    num_parts=num_partitions)
-        .map_batches(agg_to_labels, batch_format="pyarrow", batch_size=None)
-        .materialize()
-    )
-
-    def label_sum(ds) -> int:
-        row = ds.aggregate(AggSum("label", alias_name="s"))
-        return int(row["s"]) if row and row.get("s") is not None else 0
-
-    prev_sum = label_sum(labels)
-    for _ in range(max_iter):
-        # neighbor labels: for edge (src, dst), label(dst) reaches src
-        prop = attach_column(
-            edges.map_batches(
-                ensure_schema(_edge_schema),
-                batch_format="pyarrow", batch_size=None,
-            ),
-            labels,
-            item_key="dst", lookup_key="doc_id",
-            payload_col="label", out_col="label",
-            item_schema=pa.schema([("src", pa.int64())]),
-            payload_type=pa.int64(),
-            num_parts=num_partitions,
+        pairs.map_batches(
+            to_edges, batch_format="pyarrow", batch_size=None
         ).map_batches(
-            lambda t: pa.table(
-                {"doc_id": t["src"], "label": t["label"]}, schema=_label_schema
-            ) if t.num_rows and "src" in t.column_names
-            else _label_schema.empty_table(),
-            batch_format="pyarrow", batch_size=None,
-        )
-        labels = grouped_agg(
-            labels.union(prop), "doc_id", "label", mode="min",
-            num_parts=num_partitions,
-        ).materialize()
-        new_sum = label_sum(labels)
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+            scatter, batch_format="pyarrow", batch_size=None
+        ).sum("n")
 
-    return labels.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"], "cluster_id": t["label"]}),
-        batch_format="pyarrow", batch_size=None,
-    )
+        ray.get([s.seal.remote() for s in shards])
+
+        converged = False
+        for _round in range(max_iter):
+            ref_lists = ray.get([s.emit.remote() for s in shards])
+            ray.get([r for lst in ref_lists for r in lst])
+            changed = sum(ray.get([s.apply.remote() for s in shards]))
+            if changed == 0:
+                converged = True
+                break
+
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge within {max_iter} "
+                f"rounds (with pointer doubling that is diameter "
+                f"~2^{max_iter}) — refusing to return wrong cluster ids"
+            )
+
+        out = ray.data.from_arrow_refs(
+            [s.result.remote() for s in shards]
+        ).map_batches(
+            # copy pass: re-own the blocks so the shard actors can die
+            lambda t: t, batch_format="pyarrow", batch_size=None
+        ).materialize()
+    finally:
+        for s in shards:
+            ray.kill(s)
+    return out
 
 
 def minhash_dedup(sf_dir: str, threshold: float = 0.8,
@@ -563,36 +790,22 @@ def simhash_near_dups(sf_dir: str, radius: int = 3,
             )
         return pa.concat_tables(tables)
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        hs = group["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        a_ids, b_ids, dists = [], [], []
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(d <= radius)[0]:
-                if ids[i] != ids[i + 1 + j]:
-                    a_ids.append(ids[i])
-                    b_ids.append(ids[i + 1 + j])
-                    dists.append(int(d[j]))
-        return pa.table(
-            {
-                "doc_a": pa.array(a_ids, pa.int64()),
-                "doc_b": pa.array(b_ids, pa.int64()),
-                "hamming": pa.array(dists, pa.int64()),
-            }
-        )
+    from .util import bucket_pairs, grouped_pairs, popcount64
 
-    pairs = (
-        sigs.map_batches(explode_rot, batch_format="pyarrow", batch_size=None)
-        .groupby(["rot", "bucket"])
-        .map_groups(pairs_in_bucket, batch_format="pyarrow")
+    def hamming_filter(pay_a: np.ndarray, pay_b: np.ndarray):
+        d = popcount64(pay_a ^ pay_b)
+        return d <= radius, d
+
+    # fixed-partition bucket shuffle + vectorized pair gen + in-place
+    # popcount filter (util.bucket_pairs — never per-bucket map_groups)
+    pairs = bucket_pairs(
+        sigs.map_batches(explode_rot, batch_format="pyarrow",
+                         batch_size=None),
+        ["rot", "bucket"], "doc_id",
+        payload_col="simhash", pair_fn=hamming_filter,
+        value_alias="hamming", num_parts=16,
     )
     # a pair can collide under several rotations — keep one row
-    from .util import grouped_pairs
-
     return grouped_pairs(pairs, "doc_a", "doc_b", value_col="hamming",
                          mode="min", alias="hamming")
 

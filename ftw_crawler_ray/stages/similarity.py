@@ -240,27 +240,13 @@ def lsh_near_dups(
     per-pair miss rate is ~4e-8."""
     bands = _band_signatures(sf_dir, n_bands, planes_per_band, seed)
 
-    def pairs_in_bucket(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["vec_id"].to_numpy())
-        if len(ids) < 2:
-            return pa.table(
-                {"vec_a": pa.array([], pa.int64()),
-                 "vec_b": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "vec_a": pa.array(ids[ii], pa.int64()),
-                "vec_b": pa.array(ids[jj], pa.int64()),
-            }
-        )
+    from ..stages.util import attach_column, bucket_pairs, grouped_pairs
 
-    from ..stages.util import attach_column, grouped_pairs
-
+    # within-bucket pairs via the fixed-partition numpy lowering —
+    # never groupby(bucket).map_groups (buckets ≈ vectors × bands)
     candidates = grouped_pairs(
-        bands.groupby(["band_id", "bucket"]).map_groups(
-            pairs_in_bucket, batch_format="pyarrow"
-        ),
+        bucket_pairs(bands, ["band_id", "bucket"], "vec_id",
+                     out_a="vec_a", out_b="vec_b", num_parts=16),
         "vec_a", "vec_b", alias="n_bands_hit",
     )
 
@@ -389,8 +375,14 @@ def ivf_topk(sf_dir: str, query_ids: list[int], k: int = 10,
     import pyarrow.parquet as pq
 
     if index_dir is None:
+        # cache tag includes the data file's mtime+size: regenerating
+        # embeddings.parquet at the same path must invalidate the
+        # cached index, or stale cell assignments silently diverge
+        # from the exact oracle
+        st = os.stat(f"{sf_dir}/embeddings.parquet")
         tag = _hl.md5(
-            f"{os.path.abspath(sf_dir)}|{n_centroids}|{iters}|{seed}".encode()
+            f"{os.path.abspath(sf_dir)}|{n_centroids}|{iters}|{seed}"
+            f"|{st.st_mtime_ns}|{st.st_size}".encode()
         ).hexdigest()[:12]
         index_dir = f"/tmp/ftw_crawler_ray_ivf/{tag}"
     cent_path = os.path.join(index_dir, "_centroids.parquet")
@@ -406,17 +398,21 @@ def ivf_topk(sf_dir: str, query_ids: list[int], k: int = 10,
     q_ref = ray.put((qids, qmat, {int(q): set(map(int, row))
                                   for q, row in zip(qids, probe_cells)}))
 
-    # partition-pruned read: only the probed cells' files leave
-    # storage (explicit file list — Ray's read_parquet wants files,
-    # not a mixed list of hive directories)
-    import glob as _glob
+    # partition-pruned read: only the probed cells' partitions leave
+    # storage. PathPartitionFilter (hive style) works on any
+    # filesystem read_parquet supports — no local glob — and skips
+    # unpartitioned files (the _centroids sidecar) via the empty-dict
+    # convention.
+    from ray.data.datasource.partitioning import PathPartitionFilter
 
-    files = [
-        f
-        for c in cells_needed
-        for f in sorted(_glob.glob(f"{index_dir}/cell={c}/*.parquet"))
-    ]
-    index = ray.data.read_parquet(files)
+    cells_set = {str(c) for c in cells_needed}
+    index = ray.data.read_parquet(
+        index_dir,
+        partition_filter=PathPartitionFilter.of(
+            lambda d: bool(d) and d.get("cell") in cells_set,
+            base_dir=index_dir,
+        ),
+    )
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qmat_, probes = ray.get(q_ref)

@@ -369,38 +369,88 @@ def decontaminate(sf_dir: str, k: int = 5,
                             batch_size=None, concurrency=(1, 4))
 
 
-@ray.remote
-def _hot_gram_hashes(path: str, k: int, min_docs: int):
-    """Worker task: gram hashes appearing in ≥ min_docs distinct
-    docs. The HOT set is boilerplate-sized (small) even when the
-    corpus is not — at full scale this task is replaced by collecting
-    the distributed repeated_ngrams output; the broadcast contract
-    (a set of int hashes) is identical."""
-    import pyarrow.parquet as pq
+def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
+                    num_parts: int = 64) -> ray.data.Dataset:
+    """DISTRIBUTED hot-gram derivation: the hash-only projection of
+    ``repeated_ngrams`` — per-doc distinct gram hashes (streamed,
+    actor-pool cached word hashes) → fixed-partition numpy count →
+    hashes with ≥ min_docs distinct docs. No single task ever sees
+    the whole corpus; the shuffle carries (int64, count) pairs only.
+    Output: (h: int64 = gram_hash − 2⁶³)."""
+    from .dedup import MinHasher, shingles
 
-    from .dedup import shingles
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    mid = pa.schema([("h", pa.int64()), ("n", pa.int64()),
+                     ("__part", pa.int32())])
+    out_schema = pa.schema([("h", pa.int64())])
 
-    t = pq.read_table(path, columns=["doc_id", "text"])
-    cache: dict[str, int] = {}
-    count: dict[int, int] = {}
-    for text in t["text"].to_pylist():
-        for h in set(shingles(text, k, cache).tolist()):
-            count[h] = count.get(h, 0) + 1
-    return {h for h, c in count.items() if c >= min_docs}
+    class HashEmitter:
+        def __init__(self):
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.cache) > MinHasher._CACHE_LIMIT:
+                self.cache.clear()
+            hs: list[int] = []
+            for t in batch["text"].to_pylist():
+                hs.extend(
+                    h - (1 << 63)
+                    for h in set(shingles(t, k, self.cache).tolist())
+                )
+            h_arr = np.array(hs, dtype=np.int64)
+            part = (
+                (h_arr.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(num_parts)
+            ).astype(np.int32)
+            return pa.table(
+                {"h": pa.array(h_arr, pa.int64()),
+                 "n": pa.array(np.ones(len(hs), np.int64), pa.int64()),
+                 "__part": pa.array(part, pa.int32())},
+                schema=mid,
+            )
+
+    def count_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return out_schema.empty_table()
+        h = group["h"].to_numpy()
+        n = group["n"].to_numpy()
+        order = np.argsort(h, kind="stable")
+        h, n = h[order], n[order]
+        starts = np.nonzero(np.r_[True, np.diff(h) != 0])[0]
+        counts = np.add.reduceat(n, starts)
+        keep = counts >= min_docs
+        return pa.table(
+            {"h": pa.array(h[starts[keep]], pa.int64())}, schema=out_schema
+        )
+
+    return (
+        docs.map_batches(HashEmitter, batch_format="pyarrow",
+                         batch_size=None, concurrency=(1, 4))
+        .groupby("__part", num_partitions=num_parts)
+        .map_groups(count_part, batch_format="pyarrow")
+    )
 
 
 def strip_repeated_ngrams(sf_dir: str, k: int = 5,
                           min_docs: int = 5) -> ray.data.Dataset:
     """Boilerplate REMOVAL (the companion of repeated_ngrams):
     drop every word covered by a k-gram that appears in ≥ min_docs
-    documents. The hot-gram set broadcasts once; each doc's coverage
-    mask is a vectorized span-or over its shingle positions — no
-    shuffle. Output: (doc_id, clean_text, n_removed)."""
+    documents. The hot-gram set is derived DISTRIBUTED
+    (``hot_gram_hashes``: streamed gram emit + fixed-partition
+    count), collected — it is boilerplate-sized even when the corpus
+    is not — and broadcast once via the object store; each doc's
+    coverage mask is then a vectorized span-or over its shingle
+    positions, no further shuffle. Output: (doc_id, clean_text,
+    n_removed)."""
     from .dedup import MinHasher, shingles
 
-    hot_ref = _hot_gram_hashes.remote(
-        f"{sf_dir}/documents.parquet", k, min_docs
-    )
+    hot = {
+        row["h"] + (1 << 63)                      # back to raw uint64 ints
+        for row in hot_gram_hashes(sf_dir, k, min_docs).take_all()
+    }
+    hot_ref = ray.put(frozenset(hot))
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )

@@ -79,16 +79,24 @@ def auto_num_shards(n_urls: int, urls_per_shard: int = URLS_PER_SHARD,
     return max(lo, min(hi, math.ceil(max(1, n_urls) / urls_per_shard)))
 
 
-def commit_checkpoints(checkpoint_dir: str, run_id: str) -> int:
+def commit_checkpoints(checkpoint_dir: str, run_id: str,
+                       stale_after: float = 3600.0) -> int:
     """Promote this run's staged shard checkpoints onto the committed
     paths; returns the number committed. Called AFTER the plan Parquet
     is durably written, so a Ray retry of a scheduling task (which
     re-reads only the committed state and re-writes its staged file
-    idempotently) can never mark this run's own URLs as dups. Stale
-    staged files from other (crashed) runs are removed."""
+    idempotently) can never mark this run's own URLs as dups.
+
+    Other runs' staged files are swept only when older than
+    ``stale_after`` seconds (crashed-run leftovers) — a CONCURRENT
+    run against a shared checkpoint_dir keeps its staged files and
+    commits them itself; sweeping them immediately would silently
+    lose its seen-URL records."""
     import glob
+    import time
 
     n = 0
+    now = time.time()
     suffix = f".staged-{run_id}.parquet"
     for path in glob.glob(os.path.join(checkpoint_dir, "shard-*.staged-*.parquet")):
         if path.endswith(suffix):
@@ -96,7 +104,11 @@ def commit_checkpoints(checkpoint_dir: str, run_id: str) -> int:
             os.replace(path, committed)
             n += 1
         else:
-            os.remove(path)
+            try:
+                if now - os.path.getmtime(path) > stale_after:
+                    os.remove(path)
+            except OSError:
+                pass  # the other run committed it meanwhile
     return n
 
 

@@ -212,3 +212,63 @@ class TestTestingHelpers:
             pa.array(["eins zwei", "drei vier", "fünf sechs"], pa.string()),
         )
         assert_engine_paths_agree(corpus_config(), batch)
+
+    def test_paths_agree_on_randomized_header_casing(self):
+        """Reference headers are a requests CaseInsensitiveDict — both
+        engine paths must resolve X-Document-Title / Content-Disposition
+        / Last-Modified / content-type regardless of the wire casing
+        (reference extractors.py:199,339-360; SURVEY §1.3)."""
+        import base64
+        import random
+
+        import pyarrow as pa
+
+        from ftw_crawler_ray.pipelines.extract import corpus_config
+        from ftw_crawler_ray.testing import assert_engine_paths_agree
+
+        rng = random.Random(42)
+
+        def shuffle_case(name):
+            return "".join(
+                c.upper() if rng.random() < 0.5 else c.lower() for c in name
+            )
+
+        n = 8
+        headers = []
+        for i in range(n):
+            h = {
+                shuffle_case("X-Document-Title"): base64.b64encode(
+                    f"Titel {i}".encode()).decode(),
+                shuffle_case("Content-Disposition"):
+                    f'attachment; filename="doc{i}.pdf"',
+                shuffle_case("Last-Modified"): "2023-05-0%dT10:00:00Z" % (i + 1),
+                shuffle_case("Content-Type"): "application/pdf",
+            }
+            headers.append(list(h.items()))
+        batch = pa.table(
+            {
+                "url": pa.array(
+                    [f"http://h0.example.org/docs/p{i}" for i in range(n)]),
+                "html": pa.array([b""] * n, pa.binary()),
+                "text": pa.array([f"Titel {i} body text {i}" for i in range(n)]),
+                "content_type": pa.array(["application/pdf"] * n),
+                "site_id": pa.array(["h0.example.org"] * n),
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "headers": pa.array(
+                    headers, pa.map_(pa.string(), pa.string())),
+            }
+        )
+        assert_engine_paths_agree(corpus_config(), batch)
+        # And the cascade actually FIRED off the weird-cased headers:
+        from datetime import datetime
+
+        from ftw_crawler_ray.engine import ExtractionEngine
+
+        engine = ExtractionEngine(corpus_config(), crawl_ts=datetime(2024, 1, 1),
+                                  keep_input_columns=("url",))
+        fast_out = engine(batch)
+        titles = fast_out["Title"].to_pylist()
+        assert titles == [f"Titel {i}" for i in range(n)]
+        created = fast_out["created"].to_pylist()
+        assert all(c is not None and c.month == 5 for c in created)
+        assert fast_out["portal_type"].to_pylist() == ["File"] * n

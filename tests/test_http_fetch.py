@@ -81,9 +81,11 @@ def server():
 class TestFetchOne:
     def test_fetches_and_strips_charset(self, server):
         actor = HttpFetchActor()
-        body, ctype = actor.fetch_one(f"{server}/ok")
+        body, ctype, headers = actor.fetch_one(f"{server}/ok")
         assert body == b"MARKER"
         assert ctype == "text/html"  # charset stripped
+        # full headers surface (reference fetcher.py:75)
+        assert headers.get("Content-Type") == "text/html; charset=utf-8"
 
     def test_non_200_raises_fetching_error(self, server):
         with pytest.raises(FetchingError):
@@ -102,7 +104,7 @@ class TestFetchOne:
         sleeps = []
         monkeypatch.setattr(mod.time, "sleep", sleeps.append)
         actor = HttpFetchActor()
-        body, _ = actor.fetch_one(f"{server}/flaky")
+        body, _, _ = actor.fetch_one(f"{server}/flaky")
         assert body == b"RECOVERED"
         assert sleeps == [pytest.approx(0.1), pytest.approx(0.2)]
         assert actor.sleeptimes["127.0.0.1"] == pytest.approx(0.2)
@@ -112,7 +114,7 @@ class TestFetchOne:
         with pytest.raises(NotModified):
             actor.fetch_one(f"{server}/ok", lastmod="2020-06-01", last_indexed=NEW)
         # force=True ignores incrementality (reference options.force)
-        body, _ = HttpFetchActor(force=True).fetch_one(
+        body, _, _ = HttpFetchActor(force=True).fetch_one(
             f"{server}/ok", lastmod="2020-06-01", last_indexed=NEW
         )
         assert body == b"MARKER"
@@ -123,12 +125,12 @@ class TestFetchOne:
             actor.fetch_one(f"{server}/head-old", last_indexed=NEW)
 
     def test_head_fallback_new_header_fetches(self, server):
-        body, _ = HttpFetchActor().fetch_one(f"{server}/head-new",
+        body, _, _ = HttpFetchActor().fetch_one(f"{server}/head-new",
                                              last_indexed=NEW)
         assert body == b"MARKER"
 
     def test_head_fallback_no_header_fetches(self, server):
-        body, _ = HttpFetchActor().fetch_one(f"{server}/ok", last_indexed=OLD)
+        body, _, _ = HttpFetchActor().fetch_one(f"{server}/ok", last_indexed=OLD)
         assert body == b"MARKER"
 
     def test_never_indexed_always_modified(self, server):
@@ -158,6 +160,35 @@ class TestBatchContract:
         assert out["html"].to_pylist()[1] is None
         assert out["content_type"].to_pylist()[0] == "text/html"
         assert out["site_id"].to_pylist() == ["127.0.0.1"] * 3
+        # headers column: map<string,string> populated for fetched rows
+        hdrs = out["headers"].to_pylist()
+        assert dict(hdrs[0])["Content-Type"] == "text/html; charset=utf-8"
+        assert hdrs[1] is None and hdrs[2] is None
+
+    def test_dead_host_quarantined_not_task_fatal(self):
+        """A ConnectionError (no listener) must become one
+        fetch_error row, not a raised exception killing the Ray
+        task — dead hosts are routine in live crawls."""
+        actor = HttpFetchActor(timeout=0.5)
+        batch = pa.table({
+            "url": pa.array(["http://127.0.0.1:9/unroutable"], pa.string()),
+            "lastmod": pa.array([None], pa.string()),
+        })
+        out = actor(batch)
+        assert out["fetch_status"].to_pylist() == ["fetch_error"]
+
+    def test_malformed_lastmod_quarantined(self, server):
+        """A garbage sitemap lastmod raising in from_iso_datetime is
+        quarantined per row, not task-fatal."""
+        actor = HttpFetchActor()
+        batch = pa.table({
+            "url": pa.array([f"{server}/ok"] * 2, pa.string()),
+            "lastmod": pa.array(["not-a-date", None], pa.string()),
+            "last_indexed": pa.array([OLD, None],
+                                     pa.timestamp("us", tz="UTC")),
+        })
+        out = actor(batch)
+        assert out["fetch_status"].to_pylist() == ["fetch_error", "fetched"]
 
 
 class TestPlannedPacing:

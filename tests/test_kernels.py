@@ -249,6 +249,12 @@ class TestRegexXPathFastPath:
         '<div id="content"><h1>L</h1></div>',
         '<div id="content"><h1/></div>',
         '<div  id = "content" ><h1>M</h1></div>',
+        # attr-name boundary: data-id must NOT satisfy @id (and must not
+        # shadow a later real id="content" match)
+        '<div data-id="content"><h1>no</h1></div>',
+        '<div data-id="content"><h1>no</h1></div><div id="content"><h1>N</h1></div>',
+        '<div data-id="content" id="content"><h1>O</h1></div>',
+        '<div class="x" data-id="content"><h1>no</h1></div>',
     ]
 
     def test_adversarial_equivalence_or_fallback(self):

@@ -33,9 +33,11 @@ class _SiteHandler(BaseHTTPRequestHandler):
     def log_message(self, *a):
         pass
 
-    def _ok(self, body, ctype="text/html; charset=utf-8"):
+    def _ok(self, body, ctype="text/html; charset=utf-8", extra=()):
         self.send_response(200)
         self.send_header("Content-Type", ctype)
+        for k, v in extra:
+            self.send_header(k, v)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -53,7 +55,8 @@ class _SiteHandler(BaseHTTPRequestHandler):
                 f"<url><loc>{b}{p}</loc><lastmod>2024-01-0{i+1}</lastmod>"
                 f"</url>"
                 for i, p in enumerate(
-                    ["/a", "/b", "/c", "/private/secret", "/missing", "/redir"]
+                    ["/a", "/b", "/c", "/hdr", "/file",
+                     "/private/secret", "/missing", "/redir"]
                 )
             )
             self._ok(f'<urlset {NS}>{urls}</urlset>'.encode(), "text/xml")
@@ -63,6 +66,24 @@ class _SiteHandler(BaseHTTPRequestHandler):
             self._ok(_page("Beta", "second page text"))
         elif self.path == "/c":
             self._ok(_page("Gamma", "third page text"))
+        elif self.path == "/hdr":
+            # X-Document-Title beats the h1 cascade (reference
+            # extractors.py:199-202); weird casing on the wire
+            import base64
+
+            self._ok(
+                _page("Ignored", "header-titled page"),
+                extra=[("x-DoCuMeNt-TiTlE",
+                        base64.b64encode("Header Titel".encode()).decode())],
+            )
+        elif self.path == "/file":
+            # no <title>/h1/meta → Title falls through to the
+            # Content-Disposition filename (reference :347-360)
+            self._ok(
+                b"<html><body><p>just an attachment body</p></body></html>",
+                extra=[("Content-Disposition",
+                        'attachment; filename="Bericht.pdf"')],
+            )
         elif self.path == "/private/secret":
             self._ok(_page("Secret", "robots should block this"))
         elif self.path == "/redir":
@@ -96,10 +117,10 @@ class TestLiveCrawl:
             checkpoint_dir=str(out / "ckpt"),
         )
         # robots blocked /private/secret; dedup saw nothing twice
-        assert s["plan_counts"]["scheduled"] == 5
+        assert s["plan_counts"]["scheduled"] == 7
         assert s["plan_counts"]["robots_blocked"] == 1
         # /missing 404 → fetch_error, /redir 301 → redirect
-        assert s["fetch_counts"]["fetched"] == 3
+        assert s["fetch_counts"]["fetched"] == 5
         assert s["fetch_counts"]["fetch_error"] == 1
         assert s["fetch_counts"]["redirect"] == 1
 
@@ -107,18 +128,25 @@ class TestLiveCrawl:
             columns=["url", "Title", "SearchableText", "UID", "fetch_status"]
         ).to_pylist()
         ok = {r["url"]: r for r in docs if r["fetch_status"] == "fetched"}
-        assert set(ok) == {site_server + p for p in ("/a", "/b", "/c")}
+        assert set(ok) == {
+            site_server + p for p in ("/a", "/b", "/c", "/hdr", "/file")
+        }
         a = ok[site_server + "/a"]
         assert a["Title"] == "Alpha"          # h1 via HtmlConverter
         assert "first page text" in a["SearchableText"]
         assert a["UID"]
+        # response headers flow through the fetch pool into the
+        # engine: X-Document-Title (base64, weird casing) beats the
+        # h1; Content-Disposition filename catches a title-less doc
+        assert ok[site_server + "/hdr"]["Title"] == "Header Titel"
+        assert ok[site_server + "/file"]["Title"] == "Bericht.pdf"
 
         # resume with same checkpoints: everything is a dup
         s2 = crawl_live(
             sites, str(tmp_path / "live2"), num_shards=2,
             checkpoint_dir=str(out / "ckpt"),
         )
-        assert s2["plan_counts"] == {"dup": 6}
+        assert s2["plan_counts"] == {"dup": 8}
 
     def test_incrementality_via_index_state(self, ray_session, site_server,
                                             tmp_path):
@@ -128,7 +156,7 @@ class TestLiveCrawl:
         sites = [Site(site_server + "/")]
         first = tmp_path / "first"
         s1 = crawl_live(sites, str(first), num_shards=2)
-        assert s1["fetch_counts"]["fetched"] == 3
+        assert s1["fetch_counts"]["fetched"] == 5
 
         s2 = crawl_live(
             sites, str(tmp_path / "second"), num_shards=2,
@@ -140,6 +168,37 @@ class TestLiveCrawl:
         assert s2["plan_counts"].get("scheduled", 0) == 2
         assert s2["plan_counts"].get("robots_blocked", 0) == 1
         assert s2["fetch_counts"].get("fetched", 0) == 0
+
+    def test_console_script_single_url(self, site_server, tmp_path):
+        """The ``crawl config.py [url]`` console script (reference
+        setup.py:55-58 parity): runs in its own process (own Ray
+        session) via the bin/crawl shim, single-URL mode."""
+        import json
+        import subprocess
+        import sys
+
+        cfg = tmp_path / "site_config.py"
+        cfg.write_text(
+            "from ftw_crawler_ray.config import Site\n"
+            "from ftw_crawler_ray.pipelines.extract import corpus_config\n"
+            "CONFIG = corpus_config()\n"
+            f"CONFIG.sites = [Site({site_server + '/'!r})]\n"
+        )
+        out = tmp_path / "out"
+        proc = subprocess.run(
+            [sys.executable, "/root/repo/bin/crawl", str(cfg),
+             f"{site_server}/b", "--out", str(out), "--num-cpus", "4"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        summary = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert summary["fetch_counts"] == {"fetched": 1}
+        import pyarrow.dataset as pads
+
+        docs = pads.dataset(str(out / "docs"), partitioning="hive").to_table(
+            columns=["url", "Title"]
+        ).to_pylist()
+        assert docs == [{"url": f"{site_server}/b", "Title": "Beta"}]
 
     def test_live_robots_helper(self, site_server):
         from ftw_crawler_ray.functions.urlnorm import host_of

@@ -126,6 +126,45 @@ class TestSimilarityPipelines:
         as_ = set(zip(approx.query_id, approx.vec_id))
         assert len(es & as_) / len(es) >= 0.8
 
+    def test_ivf_topk_multi_file_cells_partition_filter(self, ray_session,
+                                                        tmp_path):
+        """The probe-pruned read goes through read_parquet +
+        PathPartitionFilter (object-store portable, no local glob) and
+        must handle cells made of SEVERAL parquet files."""
+        import glob
+        import os
+
+        from ftw_crawler_ray.stages.similarity import (
+            ann_topk,
+            build_ivf_index,
+            ivf_topk,
+        )
+
+        index_dir = str(tmp_path / "ivf")
+        build_ivf_index(SF, index_dir)
+        # split every cell's single file in two → multi-file cells
+        import pyarrow.parquet as pq
+
+        for f in glob.glob(f"{index_dir}/cell=*/*.parquet"):
+            t = pq.read_table(f)
+            half = max(1, t.num_rows // 2)
+            pq.write_table(t.slice(0, half), f)
+            pq.write_table(t.slice(half), f.replace(".parquet", "-b.parquet"))
+        assert any(
+            len(glob.glob(f"{d}/*.parquet")) >= 2
+            for d in glob.glob(f"{index_dir}/cell=*")
+        )
+
+        qs = [0, 1, 2]
+        exact = ann_topk(SF, qs, k=10).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        full = ivf_topk(SF, qs, k=10, n_probe=16,
+                        index_dir=index_dir).to_pandas().sort_values(
+            ["query_id", "rank"], ignore_index=True
+        )
+        assert exact.equals(full[exact.columns])
+
     def test_lsh_near_dups_matches_brute_force(self, ray_session):
         """Bucketed LSH + exact verify vs the all-pairs twin: at the
         driver-pinned parameters recall is 1.0 on this corpus and
@@ -214,6 +253,29 @@ class TestDedupPipelines:
         ref = sorted((d, find(d)) for d in parent)
         assert got == ref
         assert dict(got)[5] == 1  # chain end reached the min label
+
+    def test_connected_components_long_chain_pointer_doubling(
+            self, ray_session):
+        """A 40-hop chain converges well under 40 rounds (pointer
+        doubling → O(log diameter) rounds); and exhausting max_iter
+        raises instead of silently returning wrong cluster ids."""
+        import pytest as _pytest
+        import ray.data
+
+        from ftw_crawler_ray.stages.dedup import connected_components
+
+        edges = [(i, i + 1) for i in range(1, 41)]       # path 1..41
+        pairs = ray.data.from_items(
+            [{"doc_a": a, "doc_b": b} for a, b in edges]
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs, max_iter=12).take_all()
+        }
+        assert got == {i: 1 for i in range(1, 42)}
+
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_iter=2).take_all()
 
     def test_minhash_verified_precision(self, ray_session):
         from ftw_crawler_ray.stages.dedup import minhash_verified_pairs

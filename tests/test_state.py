@@ -203,11 +203,19 @@ class TestFrontierShardCheckpoint:
         assert out1["status"].to_pylist() == out2["status"].to_pylist() == [
             "scheduled", "scheduled"]
 
-        # plan durable → promote; a stale staged file from a crashed
-        # run is swept
-        FrontierShard(1, checkpoint_dir=str(tmp_path), run_id="dead").checkpoint()
+        # plan durable → promote. A FRESH staged file from another
+        # run (concurrent crawl against the shared checkpoint_dir)
+        # must survive this run's commit...
+        FrontierShard(1, checkpoint_dir=str(tmp_path), run_id="r2").checkpoint()
         assert commit_checkpoints(str(tmp_path), "r1") == 1
         import glob as g
+        assert len(g.glob(str(tmp_path / "*.staged-r2*"))) == 1
+        # ...and commit itself later
+        assert commit_checkpoints(str(tmp_path), "r2") == 1
+        # a stale staged file from a CRASHED run is swept once it
+        # ages past the grace period
+        FrontierShard(2, checkpoint_dir=str(tmp_path), run_id="dead").checkpoint()
+        assert commit_checkpoints(str(tmp_path), "r1", stale_after=-1.0) == 0
         assert not g.glob(str(tmp_path / "*.staged-*"))
 
         c = FrontierShard(0, checkpoint_dir=str(tmp_path))
