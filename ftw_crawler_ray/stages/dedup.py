@@ -304,13 +304,18 @@ def minhash_verified_pairs(
     num_partitions: int = _VERIFY_PARTITIONS,
     docs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
-    """LSH candidates → exact-Jaccard verify via candidates ⋈
-    documents lookup joins (one per pair side, groupby-lowered —
-    see util.attach_column for why not Dataset.join). Texts move
-    through the shuffle keyed by doc_id — nothing is broadcast and
-    the driver never materializes the corpus, so this is the 100 TB
-    shape: candidate volume (LSH output) bounds everything
-    downstream. Output: (doc_a, doc_b, jaccard ≥ threshold)."""
+    """LSH candidates → exact-Jaccard verify, with the corpus crossing
+    ONE shuffle: each pair explodes to a row per side (key = that
+    side's doc_id), a single ``attach_column`` joins the per-doc
+    SORTED DISTINCT SHINGLE-HASH array (precomputed by an actor-pool
+    emitter — the shuffle ships uint64 arrays, never text, and each
+    doc's text is shingled once total instead of once per pair side),
+    and a small pair-keyed partition reassembles both sides and
+    verifies vectorized (``np.intersect1d`` over sorted-unique
+    arrays — identical math to Jaccard over ``set(shingles(text))``).
+    Nothing is broadcast and the driver never materializes anything:
+    candidate volume bounds the pair stages, corpus volume bounds the
+    one shingle shuffle. Output: (doc_a, doc_b, jaccard ≥ threshold)."""
     from .util import attach_column
 
     if docs is None:
@@ -319,65 +324,119 @@ def minhash_verified_pairs(
         )
     candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k, docs=docs)
 
-    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
-    with_a = attach_column(
-        candidates, docs, item_key="doc_a", lookup_key="doc_id",
-        payload_col="text", out_col="text_a",
-        item_schema=pair_schema, payload_type=pa.string(),
-        num_parts=num_partitions,
-    )
-    with_both = attach_column(
-        with_a, docs, item_key="doc_b", lookup_key="doc_id",
-        payload_col="text", out_col="text_b",
-        item_schema=pa.schema(
-            [("doc_a", pa.int64()), ("doc_b", pa.int64()),
-             ("text_a", pa.string())]
-        ),
-        payload_type=pa.string(),
-        num_parts=num_partitions,
-    )
+    sh_type = pa.list_(pa.uint64())
 
-    def verify(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "doc_a" not in batch.column_names:
+    class ShingleSetEmitter:
+        """Actor-pool stage: (doc_id, sorted distinct shingle hashes)."""
+
+        def __init__(self):
+            self.cache: dict[str, int] = {}
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(self.cache) > MinHasher._CACHE_LIMIT:
+                self.cache.clear()
+            shs = [
+                np.unique(shingles(t, k, self.cache))
+                for t in batch["text"].to_pylist()
+            ]
             return pa.table(
-                {"doc_a": pa.array([], pa.int64()),
-                 "doc_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                {"doc_id": batch["doc_id"],
+                 "sh": pa.array([s.tolist() for s in shs], sh_type)}
             )
-        cache: dict[str, int] = {}
-        # a doc appears in MANY pairs inside dup-heavy batches —
-        # shingle each doc once per batch, not once per pair
-        sets_by_doc: dict[int, set] = {}
 
-        def shingle_set(doc_id, text):
-            s = sets_by_doc.get(doc_id)
-            if s is None:
-                s = set(shingles(text, k, cache).tolist())
-                sets_by_doc[doc_id] = s
-            return s
+    sh_ds = docs.map_batches(
+        ShingleSetEmitter, batch_format="pyarrow", batch_size=None,
+        concurrency=(1, 8),
+    )
 
-        keep_a, keep_b, sims = [], [], []
-        for a, b, ta, tb in zip(
-            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
-            batch["text_a"].to_pylist(), batch["text_b"].to_pylist(),
-        ):
-            sa = shingle_set(a, ta)
-            sb = shingle_set(b, tb)
-            union = len(sa | sb)
-            j = (len(sa & sb) / union) if union else 1.0
-            if j >= threshold:
-                keep_a.append(a)
-                keep_b.append(b)
-                sims.append(round(j, 6))
+    side_schema = pa.schema(
+        [("key", pa.int64()), ("doc_a", pa.int64()), ("doc_b", pa.int64())]
+    )
+
+    def explode_sides(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return side_schema.empty_table()
+        a = t["doc_a"].to_numpy().astype(np.int64)
+        b = t["doc_b"].to_numpy().astype(np.int64)
         return pa.table(
-            {
-                "doc_a": pa.array(keep_a, pa.int64()),
-                "doc_b": pa.array(keep_b, pa.int64()),
-                "jaccard": pa.array(sims, pa.float64()),
-            }
+            {"key": pa.array(np.concatenate([a, b]), pa.int64()),
+             "doc_a": pa.array(np.concatenate([a, a]), pa.int64()),
+             "doc_b": pa.array(np.concatenate([b, b]), pa.int64())},
+            schema=side_schema,
         )
 
-    return with_both.map_batches(verify, batch_format="pyarrow", batch_size=None)
+    sides = attach_column(
+        candidates.map_batches(
+            explode_sides, batch_format="pyarrow", batch_size=None
+        ),
+        sh_ds,
+        item_key="key", lookup_key="doc_id", payload_col="sh",
+        out_col="sh", item_schema=side_schema, payload_type=sh_type,
+        num_parts=num_partitions,
+    )
+
+    mid_schema = pa.schema(
+        [("key", pa.int64()), ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("sh", sh_type), ("__part", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("jaccard", pa.float64())]
+    )
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return mid_schema.empty_table()
+        a = t["doc_a"].to_numpy().astype(np.uint64)
+        b = t["doc_b"].to_numpy().astype(np.uint64)
+        part = (
+            (a * np.uint64(2654435761) ^ b * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(num_partitions)
+        ).astype(np.int32)
+        return t.append_column("__part", pa.array(part, pa.int32())).cast(
+            mid_schema
+        )
+
+    def verify_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_a" not in group.column_names:
+            return out_schema.empty_table()
+        a = group["doc_a"].to_numpy()
+        b = group["doc_b"].to_numpy()
+        key = group["key"].to_numpy()
+        order = np.lexsort((key, b, a))  # doc_a < doc_b ⇒ a-side first
+        group = group.take(pa.array(order, pa.int64()))
+        a, b = a[order], b[order]
+        shc = group["sh"].combine_chunks()
+        offs = shc.offsets.to_numpy()
+        flat = shc.values.to_numpy(zero_copy_only=False)
+        new = np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)]
+        starts = np.nonzero(new)[0]
+        counts = np.diff(np.r_[starts, len(a)])
+        keep_a, keep_b, sims = [], [], []
+        for s, c in zip(starts.tolist(), counts.tolist()):
+            if c != 2:  # a side missed the lookup — not a full pair
+                continue
+            sa = flat[offs[s]:offs[s + 1]]
+            sb = flat[offs[s + 1]:offs[s + 2]]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = (inter / union) if union else 1.0
+            if j >= threshold:
+                keep_a.append(int(a[s]))
+                keep_b.append(int(b[s]))
+                sims.append(round(j, 6))
+        return pa.table(
+            {"doc_a": pa.array(keep_a, pa.int64()),
+             "doc_b": pa.array(keep_b, pa.int64()),
+             "jaccard": pa.array(sims, pa.float64())},
+            schema=out_schema,
+        )
+
+    return (
+        sides.map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
+        .groupby("__part", num_partitions=num_partitions)
+        .map_groups(verify_part, batch_format="pyarrow")
+    )
 
 
 def _cc_owner(nodes: np.ndarray, num_parts: int) -> np.ndarray:

@@ -100,17 +100,21 @@ def attach_column(
         payload_rows = group.filter(pc.invert(is_item))
         if item_rows.num_rows == 0 or payload_rows.num_rows == 0:
             return out_schema.empty_table()
-        by_key = dict(
-            zip(payload_rows["__key"].to_pylist(),
-                payload_rows[out_col].to_pylist())
-        )
-        item_keys = item_rows["__key"].to_pylist()
-        hit = pa.array([k in by_key for k in item_keys])
-        item_rows = item_rows.filter(hit)  # inner-join semantics
-        payload = [by_key[k] for k, ok in zip(item_keys, hit.to_pylist())
-                   if ok]
+        # vectorized hash join: sorted payload keys + searchsorted +
+        # Arrow take — no per-row Python, and list/large payloads move
+        # by buffer, not through pylist round-trips
+        pk = payload_rows["__key"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk_sorted = pk[order]
+        ik = item_rows["__key"].to_numpy()
+        pos = np.searchsorted(pk_sorted, ik)
+        pos_c = np.minimum(pos, len(pk_sorted) - 1)
+        hit = pk_sorted[pos_c] == ik
+        item_rows = item_rows.filter(pa.array(hit))  # inner-join semantics
+        sel = order[pos_c[hit]]
+        payload = payload_rows.take(pa.array(sel, pa.int64()))[out_col]
         cols = {f.name: item_rows[f.name] for f in item_schema}
-        cols[out_col] = pa.array(payload, payload_type)
+        cols[out_col] = payload.combine_chunks().cast(payload_type)
         return pa.table(cols, schema=out_schema)
 
     tagged = items.map_batches(
