@@ -33,25 +33,29 @@ import time
 
 
 def _quiet_known_schema_warning() -> None:
-    """Filter Ray 2.49's 'RefBundle with a different schema …
-    new schema: .' executor warning. Investigated (round 3): the
-    schemaless empty bundles originate INSIDE Ray's sort-based
-    shuffle — with a fixed-partition key (64 distinct ``__part``
-    values) the sampled range boundaries tie, producing empty sort
-    ranges, and ``map_groups``'s wrapper yields nothing for an empty
-    block (the UDF is never invoked), so the empty output block
-    carries no schema. Every UDF in this repo returns typed
-    ``schema.empty_table()`` on its own empty inputs, and every join
-    input is ``ensure_schema``-normalized (the actual crash defense);
-    the residual warning is plan noise from Ray internals with no
-    data-side fix (verified: sentinel rows in every partition do not
-    remove it)."""
+    """Filter ONLY the schemaless-empty variant of Ray 2.49's
+    'RefBundle with a different schema … new schema: .' executor
+    warning (a real schema divergence still warns). Investigated
+    (round 3): the schemaless empty bundles originate INSIDE Ray's
+    sort-based shuffle — an empty sort range gets a bare
+    ``ArrowBlockBuilder`` table from ``merge_sorted_blocks``
+    (ray/data/_internal/arrow_block.py), and ``map_groups`` never
+    invokes the UDF on an empty block (``_apply_udf_to_groups`` finds
+    zero group boundaries), so no user code can type those blocks.
+    Structural mitigations in ``stages/util.partitioned_groups``
+    (sentinel seeding + a 16×-oversampled partition-id space so
+    sampled boundaries don't tie) remove almost all of them; the
+    residue is boundary-sampling randomness. Every UDF returns typed
+    ``schema.empty_table()`` on its own empty inputs and every join
+    input is ``ensure_schema``-normalized (the actual crash defense),
+    so the residual warning is plan noise with no data-side fix."""
     import logging
 
     class _DropSchemaWarn(logging.Filter):
         def filter(self, record):
-            return ("RefBundle with a different schema"
-                    not in record.getMessage())
+            msg = record.getMessage()
+            return not ("RefBundle with a different schema" in msg
+                        and "new schema: ." in msg)
 
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"

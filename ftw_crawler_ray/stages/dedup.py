@@ -25,6 +25,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from .util import part_space, partitioned_groups
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -78,7 +80,7 @@ def dedup_exact(sf_dir: str, num_parts: int = 64) -> ray.data.Dataset:
         # partition by the first 16 hex chars (64-bit prefix)
         keys = np.array([int(m[:16], 16) for m in md5_u], dtype=np.uint64)
         part = (
-            (keys * np.uint64(2654435761)) % np.uint64(num_parts)
+            (keys * np.uint64(2654435761)) % np.uint64(part_space(num_parts))
         ).astype(np.int32)
         return pa.table(
             {"text_md5": pa.array(md5_u, pa.string()),
@@ -102,10 +104,9 @@ def dedup_exact(sf_dir: str, num_parts: int = 64) -> ray.data.Dataset:
             schema=out_schema,
         )
 
-    return (
-        docs.map_batches(precombine, batch_format="pyarrow", batch_size=None)
-        .groupby("__part", num_partitions=num_parts)
-        .map_groups(finalize, batch_format="pyarrow")
+    return partitioned_groups(
+        docs.map_batches(precombine, batch_format="pyarrow", batch_size=None),
+        finalize, mid_schema=mid, num_parts=num_parts,
     )
 
 
@@ -391,7 +392,7 @@ def minhash_verified_pairs(
         b = t["doc_b"].to_numpy().astype(np.uint64)
         part = (
             (a * np.uint64(2654435761) ^ b * np.uint64(0x9E3779B97F4A7C15))
-            % np.uint64(num_partitions)
+            % np.uint64(part_space(num_partitions))
         ).astype(np.int32)
         return t.append_column("__part", pa.array(part, pa.int32())).cast(
             mid_schema
@@ -432,10 +433,9 @@ def minhash_verified_pairs(
             schema=out_schema,
         )
 
-    return (
-        sides.map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
-        .groupby("__part", num_partitions=num_partitions)
-        .map_groups(verify_part, batch_format="pyarrow")
+    return partitioned_groups(
+        sides.map_batches(tag_pair, batch_format="pyarrow", batch_size=None),
+        verify_part, mid_schema=mid_schema, num_parts=num_partitions,
     )
 
 
@@ -906,7 +906,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8,
             )
         part = (
             (keys.astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(num_parts)
+            % np.uint64(part_space(num_parts))
         ).astype(np.int32)
         return pa.table(
             {"key": pa.array(keys, pa.int64()),
@@ -940,12 +940,10 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8,
             schema=_ek_schema,
         )
 
-    groups = (
-        docs.map_batches(mark, batch_format="pyarrow", batch_size=None)
-        .groupby("__part", num_partitions=num_parts)
-        .map_groups(exact_groups, batch_format="pyarrow")
-        .materialize()  # small: one row per doc (kind+2 ints)
-    )
+    groups = partitioned_groups(
+        docs.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        exact_groups, mid_schema=_mark_schema, num_parts=num_parts,
+    ).materialize()  # small: one row per doc (kind+2 ints)
     exact_edges = groups.map_batches(
         lambda t: t.filter(pc.equal(t["kind"], "e")).drop(["kind"])
         if t.num_rows and "kind" in t.column_names

@@ -11,6 +11,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .util import part_space, partitioned_groups
+
 _WORD = re.compile(r"\w+", re.UNICODE)
 
 # tiny per-language stopword profiles for the n-gram/stopword
@@ -267,7 +269,7 @@ def repeated_ngrams(sf_dir: str, k: int = 5,
             h_arr = np.array(hs, dtype=np.int64)
             part = (
                 (h_arr.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(num_parts)
+                % np.uint64(part_space(num_parts))
             ).astype(np.int32)
             return pa.table(
                 {"h": pa.array(h_arr, pa.int64()),
@@ -294,11 +296,10 @@ def repeated_ngrams(sf_dir: str, k: int = 5,
             schema=out_schema,
         )
 
-    return (
+    return partitioned_groups(
         docs.map_batches(GramEmitter, batch_format="pyarrow",
-                         batch_size=None, concurrency=(1, 4))
-        .groupby("__part", num_partitions=num_parts)
-        .map_groups(count_part, batch_format="pyarrow")
+                         batch_size=None, concurrency=(1, 4)),
+        count_part, mid_schema=mid, num_parts=num_parts,
     )
 
 
@@ -402,7 +403,7 @@ def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
             h_arr = np.array(hs, dtype=np.int64)
             part = (
                 (h_arr.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(num_parts)
+                % np.uint64(part_space(num_parts))
             ).astype(np.int32)
             return pa.table(
                 {"h": pa.array(h_arr, pa.int64()),
@@ -425,11 +426,10 @@ def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
             {"h": pa.array(h[starts[keep]], pa.int64())}, schema=out_schema
         )
 
-    return (
+    return partitioned_groups(
         docs.map_batches(HashEmitter, batch_format="pyarrow",
-                         batch_size=None, concurrency=(1, 4))
-        .groupby("__part", num_partitions=num_parts)
-        .map_groups(count_part, batch_format="pyarrow")
+                         batch_size=None, concurrency=(1, 4)),
+        count_part, mid_schema=mid, num_parts=num_parts,
     )
 
 

@@ -24,6 +24,88 @@ def ensure_schema(schema: pa.Schema):
     return fix
 
 
+# Partition-id space is OVERSAMPLE× finer than the shuffle's partition
+# count: Ray's sort shuffle draws range boundaries from value samples,
+# and with only num_parts distinct key values the 10·num_parts samples
+# collide, leaving EMPTY ranges — for which merge_sorted_blocks
+# manufactures a SCHEMALESS empty block (ArrowBlockBuilder's bare
+# build), the source of every streaming_executor "new schema: ."
+# warning and of Acero "No match for FieldRef" crashes at joins.
+# 16× more distinct values than boundaries makes collisions
+# vanishingly rare; logical keys still co-locate (same key → same
+# part value → same range), each range just holds ~16 part-groups.
+PART_OVERSAMPLE = 16
+
+
+def part_space(num_parts: int) -> int:
+    """Size of the partition-id space callers should mod by when
+    deriving a ``__part`` column for :func:`partitioned_groups`."""
+    return num_parts * PART_OVERSAMPLE
+
+
+def partitioned_groups(
+    ds: "ray.data.Dataset",
+    finalize,
+    *,
+    mid_schema: pa.Schema,
+    num_parts: int,
+    part_col: str = "__part",
+) -> "ray.data.Dataset":
+    """``groupby(part_col).map_groups(finalize)`` hardened against
+    Ray's empty-range schemaless blocks, two ways:
+
+    1. SENTINEL SEEDING — one row per partition id. Ray's
+       ``map_groups`` never invokes the UDF on an empty partition
+       (``_apply_udf_to_groups`` finds zero group boundaries) and a
+       range with no rows gets a SCHEMALESS empty block from the sort
+       reduce itself; typed-empty returns inside the UDF can't fix
+       either (the UDF never runs). Seeding guarantees every value of
+       the id space exists, so every sampled boundary range is
+       non-empty and every output block is produced by ``finalize``
+       with the declared schema. Sentinels are stripped before
+       ``finalize`` sees the group.
+    2. OVERSAMPLED ID SPACE — see :data:`PART_OVERSAMPLE` above.
+
+    ``ds`` must already emit ``mid_schema`` batches (typed empties
+    included) with ``part_col`` values in
+    ``[0, part_space(num_parts))``. ``finalize`` receives one group
+    per part value (complete: a logical key never splits across part
+    values) and must handle an empty group."""
+    seeded = pa.schema(list(mid_schema) + [("__sent", pa.int8())])
+    n_ids = part_space(num_parts)
+
+    def add_flag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or part_col not in t.column_names:
+            return seeded.empty_table()
+        return t.cast(mid_schema).append_column(
+            "__sent", pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+        )
+
+    cols = {}
+    for f in mid_schema:
+        if f.name == part_col:
+            cols[f.name] = pa.array(np.arange(n_ids), f.type)
+        else:
+            cols[f.name] = pa.nulls(n_ids, f.type)
+    cols["__sent"] = pa.array(np.ones(n_ids, np.int8), pa.int8())
+    sentinels = ray.data.from_arrow(pa.table(cols, schema=seeded))
+
+    def departitioned(group: pa.Table) -> pa.Table:
+        if "__sent" in group.column_names:
+            group = group.filter(
+                pc.equal(group["__sent"], 0)
+            ).drop_columns(["__sent"])
+        return finalize(group)
+
+    departitioned.__name__ = getattr(finalize, "__name__", "finalize")
+    return (
+        ds.map_batches(add_flag, batch_format="pyarrow", batch_size=None)
+        .union(sentinels)
+        .groupby(part_col, num_partitions=num_parts)
+        .map_groups(departitioned, batch_format="pyarrow")
+    )
+
+
 def attach_column(
     items: "ray.data.Dataset",
     lookup: "ray.data.Dataset",
@@ -63,7 +145,7 @@ def attach_column(
     def _part_of(keys: np.ndarray) -> np.ndarray:
         return (
             (keys.astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(num_parts)
+            % np.uint64(part_space(num_parts))
         ).astype(np.int32)
 
     def tag_items(t: pa.Table) -> pa.Table:
@@ -122,8 +204,8 @@ def attach_column(
     ).union(
         lookup.map_batches(tag_lookup, batch_format="pyarrow", batch_size=None)
     )
-    return tagged.groupby("__part", num_partitions=num_parts).map_groups(
-        join_part, batch_format="pyarrow"
+    return partitioned_groups(
+        tagged, join_part, mid_schema=full, num_parts=num_parts
     )
 
 
@@ -183,7 +265,7 @@ def grouped_pairs(
         a, b, v = _reduce(a, b, v)
         part = (
             (a.astype(np.uint64) * np.uint64(2654435761)) ^ b.astype(np.uint64)
-        ) % np.uint64(num_parts)
+        ) % np.uint64(part_space(num_parts))
         return pa.table(
             {a_col: pa.array(a, pa.int64()), b_col: pa.array(b, pa.int64()),
              alias: pa.array(v, out_type),
@@ -204,10 +286,9 @@ def grouped_pairs(
             schema=final_schema,
         )
 
-    return (
-        ds.map_batches(precombine, batch_format="pyarrow", batch_size=None)
-        .groupby("__part", num_partitions=num_parts)
-        .map_groups(finalize, batch_format="pyarrow")
+    return partitioned_groups(
+        ds.map_batches(precombine, batch_format="pyarrow", batch_size=None),
+        finalize, mid_schema=out_schema, num_parts=num_parts,
     )
 
 
@@ -262,7 +343,7 @@ def bucket_pairs(
         k1 = t[k1_col].to_numpy().astype(np.uint64)
         part = (
             (k0 * np.uint64(2654435761) ^ k1 * np.uint64(0x9E3779B97F4A7C15))
-            % np.uint64(num_parts)
+            % np.uint64(part_space(num_parts))
         ).astype(np.int32)
         cols = {
             "__k0": pa.array(k0, pa.uint64()),
@@ -322,10 +403,9 @@ def bucket_pairs(
         cols[out_b] = pa.array(b_ids, pa.int64())
         return pa.table(cols, schema=out_schema)
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
-        .groupby("__part", num_partitions=num_parts)
-        .map_groups(gen, batch_format="pyarrow")
+    return partitioned_groups(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        gen, mid_schema=mid_schema, num_parts=num_parts,
     )
 
 
@@ -378,7 +458,7 @@ def grouped_agg(
         k, v = _reduce(k, v)
         part = (
             (k.astype(np.uint64) * np.uint64(2654435761))
-            % np.uint64(num_parts)
+            % np.uint64(part_space(num_parts))
         ).astype(np.int32)
         return pa.table(
             {key_col: pa.array(k, pa.int64()),
@@ -399,8 +479,7 @@ def grouped_agg(
             schema=final_schema,
         )
 
-    return (
-        ds.map_batches(precombine, batch_format="pyarrow", batch_size=None)
-        .groupby("__part", num_partitions=num_parts)
-        .map_groups(finalize, batch_format="pyarrow")
+    return partitioned_groups(
+        ds.map_batches(precombine, batch_format="pyarrow", batch_size=None),
+        finalize, mid_schema=mid_schema, num_parts=num_parts,
     )
