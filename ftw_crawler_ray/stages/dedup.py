@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .util import part_space, partitioned_groups
+from .util import part_space, partitioned_groups, stateful
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -214,6 +214,28 @@ class MinHasher:
         )
 
 
+class ShingleSetEmitter:
+    """Per-worker stage (``util.stateful``): (doc_id, sorted distinct
+    shingle hashes) — the word-hash memo persists across batches."""
+
+    def __init__(self, k: int = 5):
+        self.k = k
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.cache) > MinHasher._CACHE_LIMIT:
+            self.cache.clear()
+        shs = [
+            np.unique(shingles(t, self.k, self.cache))
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": batch["doc_id"],
+             "sh": pa.array([s.tolist() for s in shs],
+                            pa.list_(pa.uint64()))}
+        )
+
+
 def _explode_bands(batch: pa.Table, n_bands: int, rows_per_band: int) -> pa.Table:
     """doc → n_bands rows of (doc_id, band_id, band_hash): fully
     vectorized — the signature list column flattens zero-copy to a
@@ -252,15 +274,16 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def minhash_candidate_pairs(
+def _band_bucket_pairs(
     sf_dir: str,
     n_perm: int = _N_PERM_DEFAULT,
     n_bands: int = 16,
     k: int = 5,
     docs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
-    """LSH candidate pairs: signature → band explode → fixed-partition
-    bucket shuffle → vectorized within-bucket pairs (deduped, a<b).
+    """Raw LSH within-bucket pairs (a < b, may repeat across bands):
+    signature → band explode → fixed-partition bucket shuffle →
+    vectorized within-bucket pair expansion.
 
     Bucket pair generation is the ``util.bucket_pairs`` lowering —
     NEVER ``groupby(bucket).map_groups`` (distinct buckets ≈ docs ×
@@ -274,21 +297,34 @@ def minhash_candidate_pairs(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     sigs = docs.map_batches(
-        MinHasher, fn_constructor_kwargs={"n_perm": n_perm, "k": k},
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
+        stateful(MinHasher, n_perm=n_perm, k=k),
+        batch_format="pyarrow", batch_size=None,
     )
     bands = sigs.map_batches(
         lambda t: _explode_bands(t, n_bands, rows_per_band),
         batch_format="pyarrow", batch_size=None,
     )
 
-    from .util import bucket_pairs, grouped_pairs
+    from .util import bucket_pairs
 
-    pairs = bucket_pairs(bands, ["band_id", "band_hash"], "doc_id",
-                         num_parts=16)
-    # distinct pairs (a pair can collide in several bands) — numpy
-    # pair-dedup, not groupby-aggregate (see util.grouped_pairs: Ray's
-    # aggregate pays Python time per distinct key)
+    return bucket_pairs(bands, ["band_id", "band_hash"], "doc_id",
+                        num_parts=16)
+
+
+def minhash_candidate_pairs(
+    sf_dir: str,
+    n_perm: int = _N_PERM_DEFAULT,
+    n_bands: int = 16,
+    k: int = 5,
+    docs: "ray.data.Dataset | None" = None,
+) -> ray.data.Dataset:
+    """DISTINCT LSH candidate pairs (a pair can collide in several
+    bands) — :func:`_band_bucket_pairs` + a numpy pair-dedup shuffle,
+    not groupby-aggregate (see util.grouped_pairs: Ray's aggregate
+    pays Python time per distinct key)."""
+    from .util import grouped_pairs
+
+    pairs = _band_bucket_pairs(sf_dir, n_perm, n_bands, k, docs=docs)
     return grouped_pairs(pairs, "doc_a", "doc_b", alias="n_bands_hit",
                          num_parts=16)
 
@@ -306,48 +342,34 @@ def minhash_verified_pairs(
     docs: "ray.data.Dataset | None" = None,
 ) -> ray.data.Dataset:
     """LSH candidates → exact-Jaccard verify, with the corpus crossing
-    ONE shuffle: each pair explodes to a row per side (key = that
-    side's doc_id), a single ``attach_column`` joins the per-doc
-    SORTED DISTINCT SHINGLE-HASH array (precomputed by an actor-pool
-    emitter — the shuffle ships uint64 arrays, never text, and each
-    doc's text is shingled once total instead of once per pair side),
-    and a small pair-keyed partition reassembles both sides and
-    verifies vectorized (``np.intersect1d`` over sorted-unique
-    arrays — identical math to Jaccard over ``set(shingles(text))``).
-    Nothing is broadcast and the driver never materializes anything:
-    candidate volume bounds the pair stages, corpus volume bounds the
-    one shingle shuffle. Output: (doc_a, doc_b, jaccard ≥ threshold)."""
+    ONE shuffle and the pairs crossing ONE: each raw bucket pair
+    explodes to a row per side (key = that side's doc_id), a single
+    ``attach_column`` joins the per-doc SORTED DISTINCT SHINGLE-HASH
+    array (precomputed once per doc by :class:`ShingleSetEmitter` —
+    the shuffle ships uint64 arrays, never text), and a small
+    pair-keyed partition dedups band-collision repeats, reassembles
+    both sides, and verifies vectorized (``np.intersect1d`` over
+    sorted-unique arrays — identical math to Jaccard over
+    ``set(shingles(text))``). The separate candidate-dedup shuffle of
+    :func:`minhash_candidate_pairs` is skipped: repeats ride the one
+    pair shuffle (bounded ≤ n_bands× and typically ~1×) instead of
+    paying a full extra all-to-all. Nothing is broadcast and the
+    driver never materializes anything: candidate volume bounds the
+    pair stages, corpus volume bounds the one shingle shuffle.
+    Output: (doc_a, doc_b, jaccard ≥ threshold), distinct."""
     from .util import attach_column
 
     if docs is None:
         docs = ray.data.read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-    candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k, docs=docs)
+    candidates = _band_bucket_pairs(sf_dir, n_perm, n_bands, k, docs=docs)
 
     sh_type = pa.list_(pa.uint64())
 
-    class ShingleSetEmitter:
-        """Actor-pool stage: (doc_id, sorted distinct shingle hashes)."""
-
-        def __init__(self):
-            self.cache: dict[str, int] = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.cache) > MinHasher._CACHE_LIMIT:
-                self.cache.clear()
-            shs = [
-                np.unique(shingles(t, k, self.cache))
-                for t in batch["text"].to_pylist()
-            ]
-            return pa.table(
-                {"doc_id": batch["doc_id"],
-                 "sh": pa.array([s.tolist() for s in shs], sh_type)}
-            )
-
     sh_ds = docs.map_batches(
-        ShingleSetEmitter, batch_format="pyarrow", batch_size=None,
-        concurrency=(1, 8),
+        stateful(ShingleSetEmitter, k=k),
+        batch_format="pyarrow", batch_size=None,
     )
 
     side_schema = pa.schema(
@@ -405,8 +427,12 @@ def minhash_verified_pairs(
         b = group["doc_b"].to_numpy()
         key = group["key"].to_numpy()
         order = np.lexsort((key, b, a))  # doc_a < doc_b ⇒ a-side first
+        a, b, key = a[order], b[order], key[order]
+        # a pair hit in several bands repeats its side rows — keep one
+        keep = np.r_[True, (np.diff(a) != 0) | (np.diff(b) != 0)
+                     | (np.diff(key) != 0)]
+        order, a, b = order[keep], a[keep], b[keep]
         group = group.take(pa.array(order, pa.int64()))
-        a, b = a[order], b[order]
         shc = group["sh"].combine_chunks()
         offs = shc.offsets.to_numpy()
         flat = shc.values.to_numpy(zero_copy_only=False)
@@ -799,7 +825,7 @@ def simhash_table(sf_dir: str) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=None, concurrency=(1, 4)
+        stateful(SimHasher), batch_format="pyarrow", batch_size=None
     )
 
 

@@ -23,6 +23,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from .util import stateful
+
 
 def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
     return ray.data.read_parquet(
@@ -152,35 +154,74 @@ def near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> ray.data.Dataset:
     )
 
 
+class Signer:
+    """Per-worker stage (util.stateful): 16-bit hyperplane signature
+    per vector; planes built lazily at first batch (dim from data)."""
+
+    def __init__(self, n_planes: int = 16, seed: int = 42):
+        self.n_planes = n_planes
+        self.seed = seed
+        self.planes = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _matrix(batch)
+        if self.planes is None:
+            self.planes = np.random.default_rng(self.seed).standard_normal(
+                (emb.shape[1], self.n_planes)
+            )
+        bits = (emb @ self.planes) > 0
+        sig = (bits * (1 << np.arange(self.n_planes))).sum(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "bucket": pa.array(sig.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+class BandSigner:
+    """Per-worker stage (util.stateful): (vec_id, band_id, bucket)
+    rows — each band's bucket is that band's hyperplane sign bits."""
+
+    def __init__(self, n_bands: int = 16, planes_per_band: int = 4,
+                 seed: int = 42):
+        self.n_bands = n_bands
+        self.planes_per_band = planes_per_band
+        self.seed = seed
+        self.planes = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_bands, ppb = self.n_bands, self.planes_per_band
+        ids, emb = _matrix(batch)
+        if self.planes is None:
+            self.planes = np.random.default_rng(self.seed).standard_normal(
+                (emb.shape[1], n_bands * ppb)
+            )
+        bits = (emb @ self.planes) > 0  # (n, n_bands*ppb)
+        b3 = bits.reshape(len(ids), n_bands, ppb)
+        weights = 1 << np.arange(ppb)
+        buckets = (b3 * weights).sum(axis=2).astype(np.int64)  # (n, n_bands)
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
+                ),
+                "bucket": pa.array(buckets.ravel(), pa.int64()),
+            }
+        )
+
+
 def lsh_buckets(sf_dir: str, n_planes: int = 16, seed: int = 42) -> ray.data.Dataset:
     """Random-hyperplane LSH: 16-bit signature per vector → bucket
     column. The scale path for near-dup / ANN: groupby(bucket) then
     exact cosine within each bucket (candidates only). Deterministic
-    (seeded planes, built once per actor)."""
-
-    class Signer:
-        def __init__(self):
-            rng = np.random.default_rng(seed)
-            self.planes = None
-            self.rng = rng
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, emb = _matrix(batch)
-            if self.planes is None:
-                self.planes = np.random.default_rng(seed).standard_normal(
-                    (emb.shape[1], n_planes)
-                )
-            bits = (emb @ self.planes) > 0
-            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1)
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "bucket": pa.array(sig.astype(np.int64), pa.int64()),
-                }
-            )
+    (seeded planes, built once per worker)."""
 
     return _read_embeddings(sf_dir).map_batches(
-        Signer, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)
+        stateful(Signer, n_planes=n_planes, seed=seed),
+        batch_format="pyarrow", batch_size=None,
     )
 
 
@@ -191,33 +232,10 @@ def _band_signatures(sf_dir: str, n_bands: int, planes_per_band: int,
     the explode (at 16 bands that would shuffle the corpus 16×);
     exact similarity is recovered later by joining embeddings back."""
 
-    class BandSigner:
-        def __init__(self):
-            self.planes = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, emb = _matrix(batch)
-            if self.planes is None:
-                self.planes = np.random.default_rng(seed).standard_normal(
-                    (emb.shape[1], n_bands * planes_per_band)
-                )
-            bits = (emb @ self.planes) > 0  # (n, n_bands*ppb)
-            b3 = bits.reshape(len(ids), n_bands, planes_per_band)
-            weights = 1 << np.arange(planes_per_band)
-            buckets = (b3 * weights).sum(axis=2).astype(np.int64)  # (n, n_bands)
-            n = len(ids)
-            return pa.table(
-                {
-                    "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
-                    "band_id": pa.array(
-                        np.tile(np.arange(n_bands, dtype=np.int32), n), pa.int32()
-                    ),
-                    "bucket": pa.array(buckets.ravel(), pa.int64()),
-                }
-            )
-
     return _read_embeddings(sf_dir).map_batches(
-        BandSigner, batch_format="pyarrow", batch_size=None, concurrency=(1, 4)
+        stateful(BandSigner, n_bands=n_bands,
+                 planes_per_band=planes_per_band, seed=seed),
+        batch_format="pyarrow", batch_size=None,
     )
 
 

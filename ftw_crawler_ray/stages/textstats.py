@@ -11,7 +11,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from .util import part_space, partitioned_groups
+from .util import part_space, partitioned_groups, stateful
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 
@@ -124,9 +124,9 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return docs.map_batches(LangId, batch_format="pyarrow", batch_size=None, concurrency=(1, 2)).select_columns(
-        ["doc_id", "lang", "lang_pred"]
-    )
+    return docs.map_batches(
+        stateful(LangId), batch_format="pyarrow", batch_size=None
+    ).select_columns(["doc_id", "lang", "lang_pred"])
 
 
 def topk_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
@@ -223,9 +223,84 @@ def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(
-        Fingerprinter, fn_constructor_kwargs={"window": window},
-        batch_format="pyarrow", batch_size=None, concurrency=(1, 4),
+        stateful(Fingerprinter, window=window),
+        batch_format="pyarrow", batch_size=None,
     )
+
+
+class GramEmitter:
+    """Per-worker stage (util.stateful): one (hash, gram, 1, part) row
+    per DISTINCT word k-gram per doc; the word-hash memo persists
+    across batches on the same worker."""
+
+    def __init__(self, k: int = 5, num_parts: int = 64):
+        self.k = k
+        self.num_parts = num_parts
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import MinHasher, shingles
+
+        if len(self.cache) > MinHasher._CACHE_LIMIT:
+            self.cache.clear()
+        hs, grams = [], []
+        for t in batch["text"].to_pylist():
+            words = t.split()
+            if not words:
+                continue
+            kk = min(self.k, len(words))
+            hashes = shingles(t, self.k, self.cache)
+            seen: set[int] = set()
+            for i, h in enumerate(hashes.tolist()):
+                if h in seen:
+                    continue  # distinct per doc
+                seen.add(h)
+                hs.append(h - (1 << 63))  # uint64 → int64 shift
+                grams.append(" ".join(words[i:i + kk]))
+        h_arr = np.array(hs, dtype=np.int64)
+        part = (
+            (h_arr.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(part_space(self.num_parts))
+        ).astype(np.int32)
+        return pa.table(
+            {"h": pa.array(h_arr, pa.int64()),
+             "gram": pa.array(grams, pa.string()),
+             "n": pa.array(np.ones(len(hs), np.int64), pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+        )
+
+
+class HashEmitter:
+    """Per-worker stage (util.stateful): one (hash, 1, part) row per
+    DISTINCT word k-gram per doc — the hash-only projection of
+    :class:`GramEmitter` for the hot-gram broadcast set."""
+
+    def __init__(self, k: int = 5, num_parts: int = 64):
+        self.k = k
+        self.num_parts = num_parts
+        self.cache: dict[str, int] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import MinHasher, shingles
+
+        if len(self.cache) > MinHasher._CACHE_LIMIT:
+            self.cache.clear()
+        hs: list[int] = []
+        for t in batch["text"].to_pylist():
+            hs.extend(
+                h - (1 << 63)
+                for h in set(shingles(t, self.k, self.cache).tolist())
+            )
+        h_arr = np.array(hs, dtype=np.int64)
+        part = (
+            (h_arr.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(part_space(self.num_parts))
+        ).astype(np.int32)
+        return pa.table(
+            {"h": pa.array(h_arr, pa.int64()),
+             "n": pa.array(np.ones(len(hs), np.int64), pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+        )
 
 
 def repeated_ngrams(sf_dir: str, k: int = 5,
@@ -245,40 +320,6 @@ def repeated_ngrams(sf_dir: str, k: int = 5,
                      ("n", pa.int64()), ("__part", pa.int32())])
     out_schema = pa.schema([("gram", pa.string()), ("n_docs", pa.int64())])
 
-    class GramEmitter:
-        def __init__(self):
-            self.cache: dict[str, int] = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.cache) > MinHasher._CACHE_LIMIT:
-                self.cache.clear()
-            hs, grams = [], []
-            for t in batch["text"].to_pylist():
-                words = t.split()
-                if not words:
-                    continue
-                kk = min(k, len(words))
-                hashes = shingles(t, k, self.cache)
-                seen: set[int] = set()
-                for i, h in enumerate(hashes.tolist()):
-                    if h in seen:
-                        continue  # distinct per doc
-                    seen.add(h)
-                    hs.append(h - (1 << 63))  # uint64 → int64 shift
-                    grams.append(" ".join(words[i:i + kk]))
-            h_arr = np.array(hs, dtype=np.int64)
-            part = (
-                (h_arr.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(part_space(num_parts))
-            ).astype(np.int32)
-            return pa.table(
-                {"h": pa.array(h_arr, pa.int64()),
-                 "gram": pa.array(grams, pa.string()),
-                 "n": pa.array(np.ones(len(hs), np.int64), pa.int64()),
-                 "__part": pa.array(part, pa.int32())},
-                schema=mid,
-            )
-
     def count_part(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "h" not in group.column_names:
             return out_schema.empty_table()
@@ -297,8 +338,8 @@ def repeated_ngrams(sf_dir: str, k: int = 5,
         )
 
     return partitioned_groups(
-        docs.map_batches(GramEmitter, batch_format="pyarrow",
-                         batch_size=None, concurrency=(1, 4)),
+        docs.map_batches(stateful(GramEmitter, k=k, num_parts=num_parts),
+                         batch_format="pyarrow", batch_size=None),
         count_part, mid_schema=mid, num_parts=num_parts,
     )
 
@@ -387,31 +428,6 @@ def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
                      ("__part", pa.int32())])
     out_schema = pa.schema([("h", pa.int64())])
 
-    class HashEmitter:
-        def __init__(self):
-            self.cache: dict[str, int] = {}
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if len(self.cache) > MinHasher._CACHE_LIMIT:
-                self.cache.clear()
-            hs: list[int] = []
-            for t in batch["text"].to_pylist():
-                hs.extend(
-                    h - (1 << 63)
-                    for h in set(shingles(t, k, self.cache).tolist())
-                )
-            h_arr = np.array(hs, dtype=np.int64)
-            part = (
-                (h_arr.astype(np.uint64) * np.uint64(2654435761))
-                % np.uint64(part_space(num_parts))
-            ).astype(np.int32)
-            return pa.table(
-                {"h": pa.array(h_arr, pa.int64()),
-                 "n": pa.array(np.ones(len(hs), np.int64), pa.int64()),
-                 "__part": pa.array(part, pa.int32())},
-                schema=mid,
-            )
-
     def count_part(group: pa.Table) -> pa.Table:
         if group.num_rows == 0 or "h" not in group.column_names:
             return out_schema.empty_table()
@@ -427,8 +443,8 @@ def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
         )
 
     return partitioned_groups(
-        docs.map_batches(HashEmitter, batch_format="pyarrow",
-                         batch_size=None, concurrency=(1, 4)),
+        docs.map_batches(stateful(HashEmitter, k=k, num_parts=num_parts),
+                         batch_format="pyarrow", batch_size=None),
         count_part, mid_schema=mid, num_parts=num_parts,
     )
 

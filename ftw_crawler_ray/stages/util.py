@@ -24,6 +24,44 @@ def ensure_schema(schema: pa.Schema):
     return fix
 
 
+# Per-worker-process instance memo for `stateful` stages (a Ray worker
+# process survives across tasks, so this plays the role of an actor's
+# __init__-once state without a dedicated pool).
+_WORKER_STATE: dict = {}
+
+
+def stateful(cls, **ctor_kwargs):
+    """Run a callable-class stage on the elastic TASK pool with its
+    instance built once per worker process.
+
+    ``map_batches(Cls, concurrency=(m, n))`` spins up a dedicated
+    actor pool — right for EXPENSIVE state (HTTP sessions, codecs,
+    loaded models: pipelines/fetch_http.py, stages/multimodal.py) but
+    pure overhead for cheap state (hash params, regex tables, memo
+    caches): pool spin-up costs ~2 s per stage, autoscaling ramps from
+    one actor on short jobs, and reserved actors compete with every
+    other stage for CPUs. This wrapper keeps the once-per-worker setup
+    semantics of an actor ``__init__`` (Ray reuses worker processes
+    across tasks) while the scheduler spreads tasks over all idle
+    workers immediately — measured 2× faster than a (1, 8) pool on
+    the minhash signature stage with identical output.
+
+    ``ctor_kwargs`` values must be hashable (they key the per-process
+    memo alongside the class identity)."""
+    key = (cls.__module__, cls.__qualname__,
+           tuple(sorted(ctor_kwargs.items())))
+
+    def fn(batch):
+        inst = _WORKER_STATE.get(key)
+        if inst is None:
+            inst = cls(**ctor_kwargs)
+            _WORKER_STATE[key] = inst
+        return inst(batch)
+
+    fn.__name__ = cls.__name__
+    return fn
+
+
 # Partition-id space is OVERSAMPLE× finer than the shuffle's partition
 # count: Ray's sort shuffle draws range boundaries from value samples,
 # and with only num_parts distinct key values the 10·num_parts samples
