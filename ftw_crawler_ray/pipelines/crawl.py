@@ -36,6 +36,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..stages.util import sized_read_parquet
+
 from ..engine import ExtractionEngine
 from ..functions.urlnorm import host_hash
 from ..sources.pages import read_frontier, read_index_state, read_pages
@@ -597,7 +599,7 @@ def crawl(
 
     fetch_counts: dict[str, int] = {}
     if plan_counts.get("scheduled", 0) > 0:
-        plan = ray.data.read_parquet(plan_dir)
+        plan = sized_read_parquet(plan_dir)
         fetched = fetch_pool(plan, sf_dir)
         engine = ExtractionEngine(
             corpus_config(), converter=converter, crawl_ts=CRAWL_TS,
@@ -612,7 +614,7 @@ def crawl(
         # the docs just indexed (reference: Solr is the state store).
         # Streaming Dataset read→project→write — never materialized
         # on the driver (this table is corpus-sized at scale).
-        state = ray.data.read_parquet(
+        state = sized_read_parquet(
             docs_dir, columns=["url", "UID", "modified", "fetch_status"]
         )
         state.map_batches(
@@ -629,7 +631,7 @@ def crawl(
         # POST per block) — distributed posting, driver holds counts
         from ..sinks import SolrIndexer
 
-        counts = ray.data.read_parquet(docs_dir).map_batches(
+        counts = sized_read_parquet(docs_dir).map_batches(
             lambda t: t.filter(pc.equal(t["fetch_status"], "fetched")),
             batch_format="pyarrow", batch_size=None,
         ).map_batches(
@@ -655,7 +657,7 @@ def crawl(
                 }
             )
 
-        ray.data.read_parquet(plan_dir).map_batches(
+        sized_read_parquet(plan_dir).map_batches(
             to_tombstones, batch_format="pyarrow", batch_size=None
         ).write_parquet(f"{out_dir}/purged")
         n_purged = plan_counts["purge"]
@@ -663,7 +665,7 @@ def crawl(
             # S10 live deletes (reference purging.py:26-30)
             from ..sinks import SolrPurger
 
-            ray.data.read_parquet(f"{out_dir}/purged").map_batches(
+            sized_read_parquet(f"{out_dir}/purged").map_batches(
                 SolrPurger,
                 fn_constructor_args=(solr_url, solr_transport_factory),
                 batch_format="pyarrow", batch_size=512, concurrency=(1, 2),

@@ -28,6 +28,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..stages.util import sized_read_parquet
+
 from ..engine import ExtractionEngine, HtmlConverter
 from ..functions.urlnorm import host_of
 from ..sources.sitemap import frontier_from_sites
@@ -141,7 +143,7 @@ def crawl_live(
         )
     index_state = None
     if index_state_dir is not None:
-        index_state = ray.data.read_parquet(index_state_dir).map_batches(
+        index_state = sized_read_parquet(index_state_dir).map_batches(
             lambda t: pa.table(
                 {
                     "url": t["url"],
@@ -173,7 +175,7 @@ def crawl_live(
     plan_counts = _status_counts(f"{out_dir}/plan", "status")
     fetch_counts: dict[str, int] = {}
     if plan_counts.get("scheduled", 0) > 0:
-        plan = ray.data.read_parquet(f"{out_dir}/plan").map_batches(
+        plan = sized_read_parquet(f"{out_dir}/plan").map_batches(
             lambda t: t.filter(pc.equal(t["status"], "scheduled")),
             batch_format="pyarrow", batch_size=None,
         )
@@ -202,7 +204,7 @@ def crawl_live(
         ).write_parquet(f"{out_dir}/docs", partition_cols=["shard"])
         fetch_counts = _status_counts(f"{out_dir}/docs", "fetch_status")
 
-        state = ray.data.read_parquet(
+        state = sized_read_parquet(
             f"{out_dir}/docs", columns=["url", "UID", "modified",
                                         "fetch_status"]
         )
@@ -219,7 +221,7 @@ def crawl_live(
         # crawl (pipelines/crawl.py S9 block)
         from ..sinks import SolrIndexer
 
-        counts = ray.data.read_parquet(f"{out_dir}/docs").map_batches(
+        counts = sized_read_parquet(f"{out_dir}/docs").map_batches(
             lambda t: t.filter(pc.equal(t["fetch_status"], "fetched")),
             batch_format="pyarrow", batch_size=None,
         ).map_batches(

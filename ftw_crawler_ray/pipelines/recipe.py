@@ -21,6 +21,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..stages.util import sized_read_parquet
+
 from ..stages.textstats import LangId, _needle_gram_hashes
 
 
@@ -35,7 +37,7 @@ def training_mix(
     needles_ref = _needle_gram_hashes.remote(
         f"{sf_dir}/documents.parquet", shingle_k, contamination_modulus
     )
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
     langs = frozenset(keep_langs)

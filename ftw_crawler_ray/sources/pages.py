@@ -26,6 +26,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
+from ..stages.util import sized_read_parquet
+
 NUM_HOSTS = 41
 TS0 = np.datetime64("2020-01-01T00:00:00", "us")
 
@@ -201,7 +203,7 @@ REPLICA_OFFSET = 1_000_003
 
 def _documents(sf_dir: str, replicate: int = 1,
                num_blocks: int | None = None) -> ray.data.Dataset:
-    ds = ray.data.read_parquet(
+    ds = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     # A single small parquet file reads as one block, and Ray fuses the

@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from .util import part_space, partitioned_groups, stateful
+from .util import part_space, partitioned_groups, stateful, sized_read_parquet
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -50,7 +50,7 @@ def dedup_exact(sf_dir: str, num_parts: int = 64) -> ray.data.Dataset:
     shuffle carries (hex, keeper, count) per distinct text — never
     the text. Grouping compares the FULL hex digest (the int64 prefix
     only routes partitions), so results are exact."""
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     mid = pa.schema(
@@ -293,7 +293,7 @@ def _band_bucket_pairs(
     """
     rows_per_band = n_perm // n_bands
     if docs is None:
-        docs = ray.data.read_parquet(
+        docs = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     sigs = docs.map_batches(
@@ -360,7 +360,7 @@ def minhash_verified_pairs(
     from .util import attach_column
 
     if docs is None:
-        docs = ray.data.read_parquet(
+        docs = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     candidates = _band_bucket_pairs(sf_dir, n_perm, n_bands, k, docs=docs)
@@ -821,7 +821,7 @@ class SimHasher:
 
 
 def simhash_table(sf_dir: str) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(
@@ -910,7 +910,7 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8,
     Content key is the first 64 bits of md5(text) (collision odds
     ~n²/2⁻⁶⁵ — negligible below ~10⁸ distinct texts; widen to the
     full digest via two int64 columns beyond that)."""
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 

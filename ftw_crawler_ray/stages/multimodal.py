@@ -24,6 +24,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .util import sized_read_parquet
+
 _IMG_MAGIC = b"FIMG"
 _VID_MAGIC = b"FVID"
 
@@ -52,7 +54,7 @@ def fake_video_bytes(seed: int, n_frames: int = 8) -> bytes:
 def media_table(sf_dir: str, modality: str = "image") -> ray.data.Dataset:
     """documents → media rows: (media_id, payload: binary, modality,
     metadata columns). Deterministic from doc_id."""
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()

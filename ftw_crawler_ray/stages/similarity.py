@@ -23,11 +23,11 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .util import stateful
+from .util import sized_read_parquet, stateful
 
 
 def _read_embeddings(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return sized_read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from .util import sized_read_parquet
+
 
 class HyperLogLog:
     def __init__(self, p: int = 12):
@@ -90,7 +92,7 @@ def approx_distinct_users_per_type(sf_dir: str, p: int = 12) -> ray.data.Dataset
     """Grouped sketch aggregate: distinct users per event_type —
     partial HLLs per (batch, type), merged per type in a small
     groupby (the mergeable-sketch combiner pattern)."""
-    events = ray.data.read_parquet(
+    events = sized_read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 

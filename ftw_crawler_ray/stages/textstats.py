@@ -11,7 +11,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from .util import part_space, partitioned_groups, stateful
+from .util import part_space, partitioned_groups, stateful, sized_read_parquet
 
 _WORD = re.compile(r"\w+", re.UNICODE)
 
@@ -27,7 +27,7 @@ _LANG_STOPWORDS = {
 def token_counts(sf_dir: str) -> ray.data.Dataset:
     """Whitespace token count per document — vectorized-ish batch
     kernel (C-level str.split per row)."""
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -49,7 +49,7 @@ _BPE_ISH = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+")
 def token_counts_bpe(sf_dir: str) -> ray.data.Dataset:
     """Subword-style token counting (compiled regex per process;
     the pattern is module-level so actor/task setup is free)."""
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -66,7 +66,7 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
     """Quality-signal integers per doc: char/token counts, mean token
     length (×1000, integer — exact cross-engine comparison), distinct
     token ratio (×1000)."""
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -121,7 +121,7 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     return docs.map_batches(
@@ -132,7 +132,7 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
 def topk_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     """Top-k longest documents per source — grouped top-k via
     in-group sort (sort-within-map_groups; no global sort)."""
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
 
@@ -162,7 +162,7 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None) -> ray.data.D
             return weights.get(source, 0)
         return (int(source[3:]) * 7 + 10) % 100
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
 
@@ -219,7 +219,7 @@ class Fingerprinter:
 
 
 def fingerprints(sf_dir: str, window: int = 8) -> ray.data.Dataset:
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return docs.map_batches(
@@ -313,7 +313,7 @@ def repeated_ngrams(sf_dir: str, k: int = 5,
     shuffle stays narrow. Output: (gram, n_docs)."""
     from .dedup import MinHasher, shingles
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     mid = pa.schema([("h", pa.int64()), ("gram", pa.string()),
@@ -376,7 +376,7 @@ def decontaminate(sf_dir: str, k: int = 5,
     needles_ref = _needle_gram_hashes.remote(
         f"{sf_dir}/documents.parquet", k, modulus
     )
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -421,7 +421,7 @@ def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
     Output: (h: int64 = gram_hash − 2⁶³)."""
     from .dedup import MinHasher, shingles
 
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["text"]
     )
     mid = pa.schema([("h", pa.int64()), ("n", pa.int64()),
@@ -467,7 +467,7 @@ def strip_repeated_ngrams(sf_dir: str, k: int = 5,
         for row in hot_gram_hashes(sf_dir, k, min_docs).take_all()
     }
     hot_ref = ray.put(frozenset(hot))
-    docs = ray.data.read_parquet(
+    docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 

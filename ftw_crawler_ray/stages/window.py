@@ -13,11 +13,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+from .util import sized_read_parquet
 from ray.data.aggregate import Count, Sum
 
 
 def hourly_event_stats(sf_dir: str) -> ray.data.Dataset:
-    events = ray.data.read_parquet(
+    events = sized_read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -45,7 +47,7 @@ def sliding_window_counts(sf_dir: str, size_minutes: int = 60,
     explode (event → window_start keys) + grouped aggregate — the
     standard windowed-aggregate lowering when the engine has no
     native window operator."""
-    events = ray.data.read_parquet(
+    events = sized_read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     size = np.timedelta64(size_minutes * 60, "s").astype("timedelta64[us]")
@@ -90,7 +92,7 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
     at > gap; emits (user_id, session_id, n_events, start, end).
     Partitioning assumption: one user's events fit one group (true for
     per-user event logs; a hot user would need salting + merge)."""
-    events = ray.data.read_parquet(
+    events = sized_read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
     gap = np.timedelta64(gap_minutes * 60, "s")
