@@ -331,13 +331,29 @@ class ExtractionEngine:
             values = field.extractor.extract_batch(ctx)
             is_dt = issubclass(field.type_, datetime)
             default = _field_default(field) if field.required else None
+            # hot loop: hoist the per-field invariants; the datetime
+            # UTC-normalization and the multivalued isinstance sweep
+            # only run for fields that need them (same ExtractionError
+            # semantics as _assert_proper_type, reference :115-122)
+            ftype, multi, extractor = field.type_, field.multivalued, field.extractor
             out = []
-            for v in values:
-                if v is None:
-                    out.append(default)
-                    continue
-                _assert_proper_type(field, v, field.extractor)
-                out.append(_to_arrow_value(field, v))
+            if multi:
+                for v in values:
+                    if v is None:
+                        out.append(default)
+                        continue
+                    if not (isinstance(v, list)
+                            and all(isinstance(x, ftype) for x in v)):
+                        _assert_proper_type(field, v, extractor)
+                    out.append([utc_naive(x) for x in v] if is_dt else v)
+            else:
+                for v in values:
+                    if v is None:
+                        out.append(default)
+                        continue
+                    if not isinstance(v, ftype):
+                        _assert_proper_type(field, v, extractor)
+                    out.append(utc_naive(v) if is_dt else v)
             arrays.append(pa.array(out, type=arrow_type_for(field)))
             names.append(field.name)
         return pa.table(dict(zip(names, arrays)))
