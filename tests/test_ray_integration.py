@@ -347,6 +347,51 @@ class TestFetchVariants:
         assert missing["fetch_status"] == "missing"
         assert missing["html"] is None
 
+    def test_vectorized_fetch_matches_row_helpers(self):
+        """The searchsorted/modular-arithmetic fetch path must agree
+        with the scalar helpers (_doc_id_of / fetch_status_of) for
+        every status, across replicas, and on malformed urls."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.pipelines.crawl import (
+            FetchActor, _doc_id_of, fetch_status_of,
+        )
+        from ftw_crawler_ray.sources.pages import REPLICA_OFFSET
+
+        t = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["doc_id", "text"])
+        base = t["doc_id"].to_pylist()
+        texts = dict(zip(base, t["text"].to_pylist()))
+        err = next((b for b in base if b % 101 == 0), base[0])
+        red = next((b for b in base if b % 103 == 0 and b % 101), base[1])
+        ids = [base[0], base[1] + REPLICA_OFFSET,
+               base[2] + 7 * REPLICA_OFFSET, err, red,
+               err + 3 * REPLICA_OFFSET, 999_999_999]
+        urls = [f"http://h{i % 41}.example.org/docs/page-{i}"
+                for i in ids] + ["http://h0.example.org/not-a-doc"]
+        n = len(urls)
+        batch = pa.table({
+            "url": pa.array(urls),
+            "lastmod": pa.array([None] * n, pa.string()),
+            "shard": pa.array([0] * n, pa.int64()),
+            "seq": pa.array(list(range(n)), pa.int64()),
+            "fetch_order": pa.array(list(range(n)), pa.int64()),
+        })
+        out = FetchActor(SF)(batch)
+        assert out.num_rows == n
+        for u, st in zip(out["url"].to_pylist(),
+                         out["fetch_status"].to_pylist()):
+            d = _doc_id_of(u)
+            body = texts.get(d % REPLICA_OFFSET) if d >= 0 else None
+            expected = "missing" if body is None else fetch_status_of(d)
+            assert st == expected, (u, st, expected)
+        # present rows precede missing rows inside a batch (the
+        # contract the concat in FetchActor.__call__ preserves)
+        sts = out["fetch_status"].to_pylist()
+        first_missing = sts.index("missing")
+        assert all(s == "missing" for s in sts[first_missing:])
+
 
 class TestCuckooCrawl:
     def test_crawl_with_cuckoo_seen_mode(self, ray_session, tmp_path):
