@@ -346,6 +346,22 @@ class ExtractionEngine:
                             and all(isinstance(x, ftype) for x in v)):
                         _assert_proper_type(field, v, extractor)
                     out.append([utc_naive(x) for x in v] if is_dt else v)
+            elif is_dt:
+                # one-slot identity cache: constant-datetime columns
+                # (IndexingTimeExtractor emits the same crawl_ts
+                # object n times) convert once, not once per row
+                last_in = last_out = None
+                for v in values:
+                    if v is None:
+                        out.append(default)
+                        continue
+                    if v is last_in:
+                        out.append(last_out)
+                        continue
+                    if not isinstance(v, ftype):
+                        _assert_proper_type(field, v, extractor)
+                    last_in, last_out = v, utc_naive(v)
+                    out.append(last_out)
             else:
                 for v in values:
                     if v is None:
@@ -353,7 +369,7 @@ class ExtractionEngine:
                         continue
                     if not isinstance(v, ftype):
                         _assert_proper_type(field, v, extractor)
-                    out.append(utc_naive(v) if is_dt else v)
+                    out.append(v)
             arrays.append(pa.array(out, type=arrow_type_for(field)))
             names.append(field.name)
         return pa.table(dict(zip(names, arrays)))

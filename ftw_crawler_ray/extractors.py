@@ -431,7 +431,9 @@ def _uid_batch(self, ctx):
 
 @_patch(SlugExtractor)
 def _slug_batch(self, ctx):
-    return [slug_from_url(u) if u is not None else None for u in ctx["urls"]]
+    from .functions.urlnorm import slugs_for_urls
+
+    return slugs_for_urls(ctx["urls"])
 
 
 @_patch(URLExtractor)

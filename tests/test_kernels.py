@@ -164,6 +164,42 @@ class TestSlug:
     def test_slugify_basic(self):
         assert slugify("Foo Bar  Baz") == "foo-bar-baz"
 
+    def test_batch_kernel_matches_scalar(self):
+        """slugs_for_urls (Arrow fast path + scalar fallback) must be
+        byte-identical to slug_from_url per url — including every
+        fallback trigger: %-encoding, '+', query, fragment, unicode,
+        whitespace, no scheme, uppercase, ports, userinfo, UUID
+        golden urls."""
+        from ftw_crawler_ray.functions.urlnorm import slugs_for_urls
+
+        urls = [
+            "http://example.org/foo/bar",
+            "http://example.org/foo/bar/",
+            "http://example.org/",
+            "http://example.org",
+            "HTTP://EXAMPLE.ORG/Foo/BAR.HTML",
+            "http://example.org/foo%20bar",
+            "http://example.org/a+b",
+            "http://example.org/page?x=1",
+            "http://example.org/page#frag",
+            "http://example.org/b\xe4rengraben",
+            "http://h1.example.org:8080/docs/page-42",
+            "http://user@h.example.org/docs/x",
+            "//example.org/schemeless/path",
+            "example.org/no/scheme",
+            "http://example.org/a/b/c.d-e_f",
+            "http://example.org/trailing///",
+            "http://example.org/tab\there",
+            None,
+        ]
+        expected = [
+            slug_from_url(u) if u is not None else None for u in urls
+        ]
+        assert slugs_for_urls(urls) == expected
+        import pyarrow as pa
+
+        assert slugs_for_urls(pa.array(urls, pa.string())) == expected
+
 
 class TestKeywords:
     # reference test_extractors.py:485-510
