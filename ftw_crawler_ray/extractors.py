@@ -598,6 +598,21 @@ def _site_attr_batch(self, ctx):
 def _header_mapping_batch(self, ctx):
     default = safe_unicode(self.default) if self.default is not None else None
     is_ct = self.header_name.lower() == "content-type"
+    if ctx["headers"] is None and is_ct:
+        # no headers column (corpus path): the value depends only on
+        # the content_type string — memoize per distinct value
+        memo: dict = {}
+        out = []
+        for ct in ctx["content_types"]:
+            if ct in memo:
+                out.append(memo[ct])
+                continue
+            hv = get_content_type(ct)
+            v = (safe_unicode(self.mapping[hv]) if hv in self.mapping
+                 else default)
+            memo[ct] = v
+            out.append(v)
+        return out
     out = []
     for i in range(ctx["n"]):
         hv = _header_lookup(_headers_at(ctx, i), self.header_name)

@@ -151,46 +151,53 @@ def index_state_batch(batch: pa.Table) -> pa.Table:
     - doc_id % 11 == 0 → a vanished url (purge candidate)
     - doc_id % 19 == 0 → a foreign-host url (must never be purged)
     """
-    import hashlib
-    from uuid import UUID
+    from ..functions.urlnorm import uid_for_url
 
     doc_id, ids, host = _ids_hosts(batch)
     np_id = doc_id.to_numpy()
-    urls, last_mods, site_ids = [], [], []
     warc = TS0 + (np_id * 60_000_000).astype("timedelta64[us]")
     day = np.timedelta64(1, "D")
-    hosts = host.to_pylist()
-    for i, d in enumerate(np_id):
-        d = int(d)
-        if d % 6 == 0:
-            urls.append(f"http://{hosts[i]}/docs/page-{d}")
-            last_mods.append(warc[i] + day)
-            site_ids.append(hosts[i])
-        elif d % 6 == 3:
-            urls.append(f"http://{hosts[i]}/docs/page-{d}")
-            last_mods.append(warc[i] - day)
-            site_ids.append(hosts[i])
-        if d % 11 == 0:
-            urls.append(f"http://{hosts[i]}/docs/gone-{d}")
-            last_mods.append(warc[i])
-            site_ids.append(hosts[i])
-        if d % 19 == 0:
-            urls.append(f"http://other.example.net/docs/page-{d}")
-            last_mods.append(warc[i])
-            site_ids.append("other.example.net")
-    uids = [
-        str(UUID(bytes=hashlib.md5(u.encode()).digest())) for u in urls
-    ]
+    m_after = np_id % 6 == 0
+    m_mod = m_after | (np_id % 6 == 3)
+    m_gone = np_id % 11 == 0
+    m_foreign = np_id % 19 == 0
+
+    def _page_urls(mask: np.ndarray, stem: str) -> pa.Array:
+        idx = pa.array(np.flatnonzero(mask))
+        return pc.binary_join_element_wise(
+            "http://", host.take(idx), f"/docs/{stem}-",
+            pc.cast(pa.array(np_id[mask]), pa.string()), ""
+        )
+
+    # three row groups instead of the historical per-doc interleave —
+    # every consumer (union → shard shuffle, joins, sorted oracle
+    # compare) is row-order-independent; the VALUES are pinned
+    # identical to the row formulation by tests/test_stages.py
+    urls = pa.concat_arrays([
+        _page_urls(m_mod, "page"),
+        _page_urls(m_gone, "gone"),
+        pc.binary_join_element_wise(
+            "http://other.example.net/docs/page-",
+            pc.cast(pa.array(np_id[m_foreign]), pa.string()), ""
+        ),
+    ])
+    last_mods = np.concatenate([
+        np.where(m_after[m_mod], warc[m_mod] + day, warc[m_mod] - day),
+        warc[m_gone],
+        warc[m_foreign],
+    ])
+    site_ids = pa.concat_arrays([
+        host.take(pa.array(np.flatnonzero(m_mod))),
+        host.take(pa.array(np.flatnonzero(m_gone))),
+        pa.array(["other.example.net"] * int(m_foreign.sum()), pa.string()),
+    ])
+    uids = pa.array([uid_for_url(u) for u in urls.to_pylist()], pa.string())
     return pa.table(
         {
-            "uid": pa.array(uids, pa.string()),
-            "url": pa.array(urls, pa.string()),
-            "last_modified": pa.array(
-                np.array(last_mods, dtype="datetime64[us]") if last_mods else
-                np.array([], dtype="datetime64[us]"),
-                type=pa.timestamp("us"),
-            ),
-            "crawler_site_id": pa.array(site_ids, pa.string()),
+            "uid": uids,
+            "url": urls,
+            "last_modified": pa.array(last_mods, type=pa.timestamp("us")),
+            "crawler_site_id": site_ids,
         }
     )
 

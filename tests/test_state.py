@@ -318,3 +318,58 @@ class TestVectorizedScheduleEquivalence:
         assert (a.n_seen, a.n_scheduled, a.high_seq) == (
             b.n_seen, b.n_scheduled, b.high_seq
         )
+
+
+class TestIndexStateVectorized:
+    def test_matches_row_formulation(self):
+        """index_state_batch (mask/concat vectorized) must produce the
+        same ROWS as the historical per-doc interleaved loop — order
+        may differ (every consumer is order-independent), values and
+        multiplicities may not."""
+        import hashlib
+        from uuid import UUID
+
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.sources.pages import (
+            TS0, index_state_batch, _ids_hosts,
+        )
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang"],
+        )
+        got = index_state_batch(t)
+
+        _, _, host = _ids_hosts(t)
+        np_id = t["doc_id"].combine_chunks().to_numpy()
+        warc = TS0 + (np_id * 60_000_000).astype("timedelta64[us]")
+        day = np.timedelta64(1, "D")
+        hosts = host.to_pylist()
+        expected = []
+        for i, d in enumerate(np_id):
+            d = int(d)
+            if d % 6 == 0:
+                expected.append((f"http://{hosts[i]}/docs/page-{d}",
+                                 warc[i] + day, hosts[i]))
+            elif d % 6 == 3:
+                expected.append((f"http://{hosts[i]}/docs/page-{d}",
+                                 warc[i] - day, hosts[i]))
+            if d % 11 == 0:
+                expected.append((f"http://{hosts[i]}/docs/gone-{d}",
+                                 warc[i], hosts[i]))
+            if d % 19 == 0:
+                expected.append((f"http://other.example.net/docs/page-{d}",
+                                 warc[i], "other.example.net"))
+        exp_rows = sorted(
+            (u, str(lm), s,
+             str(UUID(bytes=hashlib.md5(u.encode()).digest())))
+            for u, lm, s in expected
+        )
+        got_rows = sorted(
+            (r["url"], str(np.datetime64(r["last_modified"], "us")),
+             r["crawler_site_id"], r["uid"])
+            for r in got.to_pylist()
+        )
+        assert got_rows == exp_rows
