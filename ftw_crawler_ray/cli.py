@@ -23,9 +23,13 @@ import sys
 
 
 def _ray_session(num_cpus: int):
+    """Returns ``(ray, owned)`` — ``owned`` is True only when THIS
+    call initialised Ray; a pre-existing session (e.g. a test
+    harness's) must not be shut down by the CLI's finally block."""
     import ray
 
-    if not ray.is_initialized():
+    owned = not ray.is_initialized()
+    if owned:
         ray.init(
             address="local",
             num_cpus=num_cpus,
@@ -36,7 +40,7 @@ def _ray_session(num_cpus: int):
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, owned
 
 
 def main(argv=None) -> int:
@@ -103,7 +107,7 @@ def main(argv=None) -> int:
             print(json.dumps(row))
         return 0
 
-    ray = _ray_session(args.num_cpus)
+    ray, _owned = _ray_session(args.num_cpus)
     try:
         config = None
         if args.config:
@@ -152,7 +156,8 @@ def main(argv=None) -> int:
             ds.write_parquet(args.out)
             print(json.dumps({"out": args.out}))
     finally:
-        ray.shutdown()
+        if _owned:
+            ray.shutdown()
     return 0
 
 
@@ -198,7 +203,7 @@ def crawl_main(argv=None) -> int:
 
         converter = DispatchConverter(binary=TikaConverter(args.tika))
 
-    ray = _ray_session(args.num_cpus)
+    ray, _owned = _ray_session(args.num_cpus)
     try:
         from .pipelines.live import crawl_live
 
@@ -227,7 +232,8 @@ def crawl_main(argv=None) -> int:
             raise
         print(json.dumps(summary))
     finally:
-        ray.shutdown()
+        if _owned:
+            ray.shutdown()
     return 0
 
 
