@@ -623,16 +623,30 @@ def crawl(
 
     fetch_counts: dict[str, int] = {}
     if plan_counts.get("scheduled", 0) > 0:
-        plan = sized_read_parquet(plan_dir)
-        fetched = fetch_pool(plan, sf_dir)
-        engine = ExtractionEngine(
-            corpus_config(), converter=converter, crawl_ts=CRAWL_TS,
-            keep_input_columns=("url", "shard", "seq", "fetch_status"),
-            strict=True,
-        )
-        fetched.map_batches(
-            ExtractOrQuarantine(engine), batch_format="pyarrow", batch_size=None
-        ).write_parquet(docs_dir, partition_cols=["shard"])
+        from ..stages.util import payload_block_ctx
+
+        with payload_block_ctx():
+            # 16 MiB output blocks through the payload-expanding
+            # fetch→extract chain so extract fans out past the fetch
+            # task count (see payload_block_ctx). The plan read is
+            # floored to ~2k scheduled urls per block: one block is
+            # one fetch-pool task, and a byte-sized read of the
+            # (small) plan would occupy only a handful of actors.
+            n_sched = plan_counts.get("scheduled", 0)
+            plan = sized_read_parquet(
+                plan_dir,
+                min_blocks=min(max(n_sched // 2048, 1), 1024),
+            )
+            fetched = fetch_pool(plan, sf_dir)
+            engine = ExtractionEngine(
+                corpus_config(), converter=converter, crawl_ts=CRAWL_TS,
+                keep_input_columns=("url", "shard", "seq", "fetch_status"),
+                strict=True,
+            )
+            fetched.map_batches(
+                ExtractOrQuarantine(engine), batch_format="pyarrow",
+                batch_size=None,
+            ).write_parquet(docs_dir, partition_cols=["shard"])
         fetch_counts = _status_counts(docs_dir, "fetch_status")
         # index-state update: what a Solr index would now contain for
         # the docs just indexed (reference: Solr is the state store).

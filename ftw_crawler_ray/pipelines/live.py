@@ -175,33 +175,48 @@ def crawl_live(
     plan_counts = _status_counts(f"{out_dir}/plan", "status")
     fetch_counts: dict[str, int] = {}
     if plan_counts.get("scheduled", 0) > 0:
-        plan = sized_read_parquet(f"{out_dir}/plan").map_batches(
-            lambda t: t.filter(pc.equal(t["status"], "scheduled")),
-            batch_format="pyarrow", batch_size=None,
-        )
-        fetched = plan.map_batches(
-            HttpFetchActor,
-            fn_constructor_kwargs={
-                "base_sleeptime": base_sleeptime,
-                "timeout": fetch_timeout,
-                "force": force,
-                "pace_from": time.time() if pace else None,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-        engine = ExtractionEngine(
-            config if config is not None else corpus_config(),
-            converter=converter if converter is not None else HtmlConverter(),
-            crawl_ts=None,
-            keep_input_columns=("url", "shard", "seq", "fetch_status"),
-            strict=True,
-        )
-        fetched.map_batches(
-            ExtractOrQuarantine(engine), batch_format="pyarrow",
-            batch_size=None,
-        ).write_parquet(f"{out_dir}/docs", partition_cols=["shard"])
+        from ..stages.util import payload_block_ctx
+
+        with payload_block_ctx():
+            # 16 MiB output blocks through fetch→extract (see
+            # payload_block_ctx); plan blocks floored to ~512 urls
+            # per fetch-pool task (live fetches are network-bound —
+            # finer tasks keep the whole actor pool busy, and
+            # planned-offset pacing stays globally correct however
+            # the plan is split)
+            plan = sized_read_parquet(
+                f"{out_dir}/plan",
+                min_blocks=min(
+                    max(plan_counts["scheduled"] // 512, 1), 1024
+                ),
+            ).map_batches(
+                lambda t: t.filter(pc.equal(t["status"], "scheduled")),
+                batch_format="pyarrow", batch_size=None,
+            )
+            fetched = plan.map_batches(
+                HttpFetchActor,
+                fn_constructor_kwargs={
+                    "base_sleeptime": base_sleeptime,
+                    "timeout": fetch_timeout,
+                    "force": force,
+                    "pace_from": time.time() if pace else None,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+            )
+            engine = ExtractionEngine(
+                config if config is not None else corpus_config(),
+                converter=(converter if converter is not None
+                           else HtmlConverter()),
+                crawl_ts=None,
+                keep_input_columns=("url", "shard", "seq", "fetch_status"),
+                strict=True,
+            )
+            fetched.map_batches(
+                ExtractOrQuarantine(engine), batch_format="pyarrow",
+                batch_size=None,
+            ).write_parquet(f"{out_dir}/docs", partition_cols=["shard"])
         fetch_counts = _status_counts(f"{out_dir}/docs", "fetch_status")
 
         state = sized_read_parquet(

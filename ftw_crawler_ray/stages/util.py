@@ -13,6 +13,7 @@ import ray.data
 
 def sized_read_parquet(path: str, *, columns=None,
                        bytes_per_task: int = 16 << 20,
+                       min_blocks: int | None = None,
                        **kw) -> "ray.data.Dataset":
     """``read_parquet`` with the task count sized to INPUT BYTES
     instead of Ray's cpu-count heuristic. Ray's default splits even a
@@ -22,7 +23,12 @@ def sized_read_parquet(path: str, *, columns=None,
     task per 16 MB of file bytes: tiny inputs collapse to a handful
     of blocks; at scale the byte count exceeds the cpu heuristic
     anyway, so the override asks for MORE parallelism, never less.
-    Non-local paths (object stores) fall through to Ray's default."""
+    Non-local paths (object stores) fall through to Ray's default.
+
+    ``min_blocks`` floors the task count regardless of byte size —
+    for a small table feeding an ACTOR POOL (the crawl plan → fetch
+    pool), where one block = one pool task and a byte-sized read
+    would leave all but a handful of actors idle."""
     size = None
     if os.path.isfile(path):
         size = os.path.getsize(path)
@@ -33,9 +39,39 @@ def sized_read_parquet(path: str, *, columns=None,
             for f in fs if f.endswith(".parquet")
         )
     if size:
-        kw.setdefault("override_num_blocks",
-                      max(1, math.ceil(size / bytes_per_task)))
+        blocks = max(1, math.ceil(size / bytes_per_task))
+        if min_blocks:
+            blocks = max(blocks, min_blocks)
+        kw.setdefault("override_num_blocks", blocks)
+    elif min_blocks:
+        kw.setdefault("override_num_blocks", min_blocks)
     return ray.data.read_parquet(path, columns=columns, **kw)
+
+
+def payload_block_ctx(max_bytes: int = 16 * 1024 * 1024):
+    """Context manager: cap ``target_max_block_size`` (default Ray:
+    128 MiB) while a payload-expanding pipeline builds AND executes.
+
+    Fetch output carries full page bodies, so at the default size a
+    single upstream task emits 40-120 MB blocks that pass through
+    whole — the CPU-heavy extract stage then inherits the upstream
+    task count instead of fanning out (measured: 25 → ~100-176 even
+    tasks, 28.9 → 21.0 s on the 1.66M-page bench crawl). Restores the
+    caller's value on exit so a shared driver context (the
+    ``queries()`` surface) is never left mutated."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def _ctx():
+        dctx = ray.data.DataContext.get_current()
+        prev = dctx.target_max_block_size
+        dctx.target_max_block_size = max_bytes
+        try:
+            yield
+        finally:
+            dctx.target_max_block_size = prev
+
+    return _ctx()
 
 
 def ensure_schema(schema: pa.Schema):
