@@ -61,6 +61,38 @@ class TestUrlKernelProps:
         assert all(c.islower() or c.isdigit() or c == "-" for c in slug)
         assert not slug.startswith("-") and not slug.endswith("-")
 
+    @settings(deadline=None)  # first call pays Arrow kernel warm-up
+    @given(st.lists(
+        st.one_of(
+            st.just(None),
+            # generated url: scheme + host + path from a charset that
+            # covers both the Arrow fast path and every fallback
+            # trigger (%, +, ?, #, whitespace, unicode, no scheme)
+            st.builds(
+                lambda scheme, host, path: f"{scheme}{host}{path}",
+                st.sampled_from(["http://", "HTTPS://", "ftp://", "", "//"]),
+                st.text(
+                    alphabet="abXY09.-:@", min_size=0, max_size=12
+                ),
+                st.text(
+                    alphabet="/abYZ09._-%+?#= \tä€", min_size=0, max_size=24
+                ),
+            ),
+        ),
+        max_size=30,
+    ))
+    def test_slug_batch_equals_scalar(self, urls):
+        """slugs_for_urls == [slug_from_url(u)] for arbitrary junk —
+        the Arrow fast path may only ever be a shortcut."""
+        from ftw_crawler_ray.functions.urlnorm import (
+            slug_from_url, slugs_for_urls,
+        )
+
+        expected = [
+            slug_from_url(u) if u is not None else None for u in urls
+        ]
+        assert slugs_for_urls(urls) == expected
+
 
 # well-formed html fragment strategy
 _tag = st.sampled_from(["div", "p", "h1", "span", "b"])
