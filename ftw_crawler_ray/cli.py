@@ -39,7 +39,9 @@ def _ray_session(num_cpus: int):
         )
     import ray.data
 
-    ray.data.DataContext.get_current().enable_progress_bars = False
+    if owned:
+        # never rewrite a borrowed session's shared DataContext
+        ray.data.DataContext.get_current().enable_progress_bars = False
     return ray, owned
 
 

@@ -80,7 +80,9 @@ def slugs_for_urls(urls) -> list:
         arr = arr.combine_chunks()
     simple = pc.and_(
         pc.string_is_ascii(arr),
-        pc.invert(pc.match_substring_regex(arr, r"[%+?#\s]")),
+        # brackets included: urlsplit RAISES on malformed IPv6
+        # netlocs, and the fallback must raise identically
+        pc.invert(pc.match_substring_regex(arr, r"[%+?#\s\[\]]")),
     )
     ex = pc.extract_regex(arr, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/]*(?P<p>.*)$")
     path = pc.struct_field(ex, "p")

@@ -422,8 +422,11 @@ class FetchActor:
         # regex-extract the trailing doc id, resolve the body by
         # searchsorted against the sorted base corpus, derive statuses
         # with modular arithmetic — no Python loop over urls.
+        # digit run capped at 18 so the cast below can never overflow
+        # int64 (a 19+-digit id matches nothing → quarantined
+        # 'missing', instead of an ArrowInvalid killing the task)
         ex = pc.extract_regex(
-            batch["url"].combine_chunks(), r"-(?P<id>\d+)(?:\?.*)?$"
+            batch["url"].combine_chunks(), r"-(?P<id>\d{1,18})(?:\?.*)?$"
         )
         ids = pc.fill_null(
             pc.cast(pc.struct_field(ex, "id"), pa.int64()), -1

@@ -179,16 +179,19 @@ def crawl_live(
 
         with payload_block_ctx():
             # 16 MiB output blocks through fetch→extract (see
-            # payload_block_ctx); plan blocks floored to ~512 urls
-            # per fetch-pool task (live fetches are network-bound —
-            # finer tasks keep the whole actor pool busy, and
-            # planned-offset pacing stays globally correct however
-            # the plan is split)
+            # payload_block_ctx). Plan fan-out (≥1 block per ~512
+            # urls, so the whole actor pool is busy) ONLY under
+            # pace=True: planned-offset pacing is wall-clock
+            # absolute, so politeness holds however the plan is
+            # split — but with pace=False politeness comes from
+            # actors fetching a host's rows sequentially, which
+            # splitting would break.
+            min_blocks = (
+                min(max(plan_counts["scheduled"] // 512, 1), 1024)
+                if pace else None
+            )
             plan = sized_read_parquet(
-                f"{out_dir}/plan",
-                min_blocks=min(
-                    max(plan_counts["scheduled"] // 512, 1), 1024
-                ),
+                f"{out_dir}/plan", min_blocks=min_blocks,
             ).map_batches(
                 lambda t: t.filter(pc.equal(t["status"], "scheduled")),
                 batch_format="pyarrow", batch_size=None,

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import math
 import os
+from contextlib import contextmanager
 
 import numpy as np
 import pyarrow as pa
@@ -48,9 +49,10 @@ def sized_read_parquet(path: str, *, columns=None,
     return ray.data.read_parquet(path, columns=columns, **kw)
 
 
+@contextmanager
 def payload_block_ctx(max_bytes: int = 16 * 1024 * 1024):
-    """Context manager: cap ``target_max_block_size`` (default Ray:
-    128 MiB) while a payload-expanding pipeline builds AND executes.
+    """Cap ``target_max_block_size`` (default Ray: 128 MiB) while a
+    payload-expanding pipeline builds AND executes.
 
     Fetch output carries full page bodies, so at the default size a
     single upstream task emits 40-120 MB blocks that pass through
@@ -59,19 +61,13 @@ def payload_block_ctx(max_bytes: int = 16 * 1024 * 1024):
     tasks, 28.9 → 21.0 s on the 1.66M-page bench crawl). Restores the
     caller's value on exit so a shared driver context (the
     ``queries()`` surface) is never left mutated."""
-    from contextlib import contextmanager
-
-    @contextmanager
-    def _ctx():
-        dctx = ray.data.DataContext.get_current()
-        prev = dctx.target_max_block_size
-        dctx.target_max_block_size = max_bytes
-        try:
-            yield
-        finally:
-            dctx.target_max_block_size = prev
-
-    return _ctx()
+    dctx = ray.data.DataContext.get_current()
+    prev = dctx.target_max_block_size
+    dctx.target_max_block_size = max_bytes
+    try:
+        yield
+    finally:
+        dctx.target_max_block_size = prev
 
 
 def ensure_schema(schema: pa.Schema):

@@ -200,6 +200,18 @@ class TestSlug:
 
         assert slugs_for_urls(pa.array(urls, pa.string())) == expected
 
+    def test_batch_kernel_raises_like_scalar_on_bad_ipv6(self):
+        """urlsplit raises on malformed IPv6 netlocs; the batch
+        kernel must route such urls through the scalar fallback so
+        both paths raise identically (engine quarantine parity)."""
+        from ftw_crawler_ray.functions.urlnorm import slugs_for_urls
+
+        bad = "http://[h1.example.org/docs/page-7"
+        with pytest.raises(ValueError):
+            slug_from_url(bad)
+        with pytest.raises(ValueError):
+            slugs_for_urls(["http://ok.example.org/a", bad])
+
 
 class TestKeywords:
     # reference test_extractors.py:485-510

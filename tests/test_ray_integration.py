@@ -369,7 +369,13 @@ class TestFetchVariants:
                base[2] + 7 * REPLICA_OFFSET, err, red,
                err + 3 * REPLICA_OFFSET, 999_999_999]
         urls = [f"http://h{i % 41}.example.org/docs/page-{i}"
-                for i in ids] + ["http://h0.example.org/not-a-doc"]
+                for i in ids] + [
+            "http://h0.example.org/not-a-doc",
+            # int64-overflow digit run: quarantined 'missing', never
+            # an ArrowInvalid task crash
+            "http://h0.example.org/docs/page-"
+            "99999999999999999999999999",
+        ]
         n = len(urls)
         batch = pa.table({
             "url": pa.array(urls),
