@@ -347,15 +347,19 @@ def minhash_verified_pairs(
     ``attach_column`` joins the per-doc SORTED DISTINCT SHINGLE-HASH
     array (precomputed once per doc by :class:`ShingleSetEmitter` —
     the shuffle ships uint64 arrays, never text), and a small
-    pair-keyed partition dedups band-collision repeats, reassembles
+    pair-keyed partition dedups any residual repeats, reassembles
     both sides, and verifies vectorized (``np.intersect1d`` over
     sorted-unique arrays — identical math to Jaccard over
-    ``set(shingles(text))``). The separate candidate-dedup shuffle of
-    :func:`minhash_candidate_pairs` is skipped: repeats ride the one
-    pair shuffle (bounded ≤ n_bands× and typically ~1×) instead of
-    paying a full extra all-to-all. Nothing is broadcast and the
-    driver never materializes anything: candidate volume bounds the
-    pair stages, corpus volume bounds the one shingle shuffle.
+    ``set(shingles(text))``). Candidates are DEDUPED (ids-only
+    fixed-partition shuffle, pairs × 16 bytes) BEFORE the shingle
+    arrays attach: on dup-heavy corpora a pair collides in close to
+    ALL n_bands bands, so skipping the dedup multiplies the payload
+    join and verify traffic ~n_bands× (measured 3.4× wall on a
+    40-way-clique stress corpus); on clean corpora the extra
+    all-to-all is pairs-sized and costs a few hundred ms. Nothing is
+    broadcast and the driver never materializes anything: candidate
+    volume bounds the pair stages, corpus volume bounds the one
+    shingle shuffle.
     Output: (doc_a, doc_b, jaccard ≥ threshold), distinct."""
     from .util import attach_column
 
@@ -363,7 +367,8 @@ def minhash_verified_pairs(
         docs = sized_read_parquet(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
-    candidates = _band_bucket_pairs(sf_dir, n_perm, n_bands, k, docs=docs)
+    candidates = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k,
+                                         docs=docs)
 
     sh_type = pa.list_(pa.uint64())
 
