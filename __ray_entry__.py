@@ -350,6 +350,15 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(sf_dir)
 
 
+def _q_pack_sequences(sf_dir: str):
+    # greedy fixed-token-window packing; rows-only by nature (the
+    # greedy reset is a recursive running total, not SQL-window
+    # expressible) — invariants pinned in tests/test_stages.py
+    from ftw_crawler_ray.stages.textstats import pack_sequences
+
+    return pack_sequences(sf_dir)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from ftw_crawler_ray.stages.dedup import minhash_candidate_pairs
 
@@ -486,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # collisions, sketch signatures, binary payload plumbing)
         "minhash_dedup": _q_minhash_dedup,
         "fingerprints": _q_fingerprints,
+        "pack_sequences": _q_pack_sequences,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,

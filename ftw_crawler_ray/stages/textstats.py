@@ -507,3 +507,92 @@ def strip_repeated_ngrams(sf_dir: str, k: int = 5,
 
     return docs.map_batches(Stripper, batch_format="pyarrow",
                             batch_size=None, concurrency=(1, 4))
+
+
+def pack_sequences(sf_dir: str, window: int = 512,
+                   num_parts: int = 16) -> ray.data.Dataset:
+    """Greedy sequence packing — the canonical pretraining batcher:
+    assign documents to fixed-token-budget training sequences,
+    first-fit in deterministic order.
+
+    Scale shape: documents hash-partition (Knuth multiplicative on
+    doc_id) into independent PACKER partitions; each partition packs
+    its own docs greedily in doc_id order, so the only sequential
+    scan is per-partition (the packing algorithm itself) and
+    partitions parallelize. seq ids are globally unique
+    (``part << 32 | local_seq``) without any coordination. A doc
+    longer than ``window`` gets a sequence of its own (callers
+    truncate downstream); token counts are the whitespace tokenizer
+    of :func:`token_counts`.
+
+    Output: (doc_id, part, seq_id, seq_offset, n_tokens) — one row
+    per document. No SQL oracle (greedy bin reset is a recursive
+    running total); invariants are pinned by
+    tests/test_stages.py::TestPackSequences against a pure-Python
+    reference packer."""
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    mid = pa.schema(
+        [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+         ("__part", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("part", pa.int32()),
+         ("seq_id", pa.int64()), ("seq_offset", pa.int64()),
+         ("n_tokens", pa.int64())]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return mid.empty_table()
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        n = np.array(
+            [len(t.split()) for t in batch["text"].to_pylist()], np.int64
+        )
+        part = (
+            (ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(part_space(num_parts))
+        ).astype(np.int32)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(n, pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid,
+        )
+
+    def pack(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return out_schema.empty_table()
+        ids = group["doc_id"].to_numpy().astype(np.int64)
+        n = group["n_tokens"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, n = ids[order], n[order]
+        part_val = int(group["__part"][0].as_py())
+        seq = np.empty(len(ids), np.int64)
+        off = np.empty(len(ids), np.int64)
+        cur_seq, cur_fill = 0, 0
+        # the greedy reset scan IS the packing algorithm — sequential
+        # by definition, bounded to one partition's docs
+        for i, tok in enumerate(n.tolist()):
+            if cur_fill and cur_fill + tok > window:
+                cur_seq += 1
+                cur_fill = 0
+            seq[i] = cur_seq
+            off[i] = cur_fill
+            cur_fill += tok
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "part": pa.array(
+                 np.full(len(ids), part_val, np.int32), pa.int32()),
+             "seq_id": pa.array(
+                 (np.int64(part_val) << np.int64(32)) + seq, pa.int64()),
+             "seq_offset": pa.array(off, pa.int64()),
+             "n_tokens": pa.array(n, pa.int64())},
+            schema=out_schema,
+        )
+
+    return partitioned_groups(
+        docs.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        pack, mid_schema=mid, num_parts=num_parts,
+    )

@@ -181,3 +181,51 @@ class TestSketches:
             h.add(str(i))
         h2 = HyperLogLog.from_bytes(h.to_bytes())
         assert h2.estimate() == h.estimate()
+
+
+class TestPackSequences:
+    def test_matches_reference_packer(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.stages.textstats import pack_sequences
+        from ftw_crawler_ray.stages.util import part_space
+
+        sf = "/root/testdata/sf0.001"
+        window = 64
+        got = pack_sequences(sf, window=window).to_pandas()
+
+        t = pq.read_table(f"{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        ids = t["doc_id"].to_numpy()
+        toks = {int(d): len(x.split())
+                for d, x in zip(ids, t["text"].to_pylist())}
+        space = part_space(16)
+        parts: dict[int, list[int]] = {}
+        for d in sorted(int(i) for i in ids):
+            p = int((np.uint64(d) * np.uint64(2654435761))
+                    % np.uint64(space))
+            parts.setdefault(p, []).append(d)
+        expected = {}
+        for p, docs in parts.items():
+            cur_seq, cur_fill = 0, 0
+            for d in docs:
+                n = toks[d]
+                if cur_fill and cur_fill + n > window:
+                    cur_seq += 1
+                    cur_fill = 0
+                expected[d] = (p, (p << 32) + cur_seq, cur_fill, n)
+                cur_fill += n
+
+        assert len(got) == len(ids)
+        for row in got.itertuples():
+            exp = expected[int(row.doc_id)]
+            assert (int(row.part), int(row.seq_id),
+                    int(row.seq_offset), int(row.n_tokens)) == exp
+
+        # invariants: a sequence fits the window unless it is a
+        # single over-long doc; offsets are the running sums
+        agg = got.groupby("seq_id").agg(
+            total=("n_tokens", "sum"), count=("n_tokens", "count"))
+        over = agg[agg["total"] > window]
+        assert (over["count"] == 1).all()
