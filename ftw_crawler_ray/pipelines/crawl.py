@@ -40,7 +40,12 @@ from ..stages.util import sized_read_parquet
 
 from ..engine import ExtractionEngine
 from ..functions.urlnorm import host_hash
-from ..sources.pages import read_frontier, read_index_state, read_pages
+from ..sources.pages import (
+    _documents,
+    frontier_batch,
+    index_state_batch,
+    read_pages,
+)
 from ..state.frontier import FrontierShard
 from ..stages.incremental import is_modified_mask
 from .extract import CRAWL_TS, corpus_config
@@ -117,6 +122,40 @@ SANDBOX_SITE_HOSTS = frozenset(f"h{n}.example.org" for n in range(41))
 SCHEDULE_CHUNK_ROWS = 500_000
 
 
+def _frontier_side_table(batch: pa.Table, num_shards: int) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(["f"] * n, pa.string()),
+            "url": batch["url"],
+            "lastmod": batch["lastmod"],
+            "priority": batch["priority"],
+            "site_id": batch["site_id"],
+            "seq": batch["seq"],
+            "last_modified": pa.nulls(n, pa.timestamp("us")),
+            "shard": _shard_column(batch["site_id"], num_shards),
+        },
+        schema=_PLAN_INPUT_SCHEMA,
+    )
+
+
+def _index_side_table(batch: pa.Table, num_shards: int) -> pa.Table:
+    n = batch.num_rows
+    return pa.table(
+        {
+            "kind": pa.array(["i"] * n, pa.string()),
+            "url": batch["url"],
+            "lastmod": pa.nulls(n, pa.string()),
+            "priority": pa.nulls(n, pa.string()),
+            "site_id": batch["crawler_site_id"],
+            "seq": pa.nulls(n, pa.int64()),
+            "last_modified": batch["last_modified"],
+            "shard": _shard_column(batch["crawler_site_id"], num_shards),
+        },
+        schema=_PLAN_INPUT_SCHEMA,
+    )
+
+
 def scheduled_frontier(
     sf_dir: str,
     num_shards: int | None = 8,
@@ -159,9 +198,28 @@ def scheduled_frontier(
 
         num_shards = auto_num_shards(2 * n_docs * max(1, replicate))
 
+    # ONE derive pass over the (amplified) base corpus emitting the
+    # tagged union of both sides directly — the two-dataset union
+    # shape would run the read→repartition→amplify chain once per
+    # side (Ray caches the read, not the fused amplify+derive maps).
+    # frontier_batch / index_state_batch resolve through THIS module's
+    # globals so tests can monkeypatch partial-frontier scenarios.
+    ns = num_shards
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables([
+            _frontier_side_table(frontier_batch(batch), ns),
+            _index_side_table(index_state_batch(batch), ns),
+        ])
+
+    premerged = _documents(sf_dir, replicate).map_batches(
+        both_sides, batch_format="pyarrow", batch_size=None
+    )
+
     return schedule_datasets(
-        read_frontier(sf_dir, replicate),
-        read_index_state(sf_dir, replicate),
+        None,
+        None,
+        premerged=premerged,
         num_shards=num_shards,
         checkpoint_dir=checkpoint_dir,
         seen_mode=seen_mode,
@@ -175,7 +233,7 @@ def scheduled_frontier(
 
 
 def schedule_datasets(
-    frontier: ray.data.Dataset,
+    frontier: ray.data.Dataset | None,
     index_state: ray.data.Dataset | None,
     *,
     num_shards: int,
@@ -187,6 +245,7 @@ def schedule_datasets(
     run_id: str | None = None,
     force: bool = False,
     n_429_for=None,
+    premerged: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """The generalized scheduling core behind ``scheduled_frontier``
     (corpus) and ``crawl_live`` (real sitemaps/HTTP): frontier rows
@@ -196,46 +255,23 @@ def schedule_datasets(
     [+ J2 purge]."""
 
     def frontier_side(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "kind": pa.array(["f"] * n, pa.string()),
-                "url": batch["url"],
-                "lastmod": batch["lastmod"],
-                "priority": batch["priority"],
-                "site_id": batch["site_id"],
-                "seq": batch["seq"],
-                "last_modified": pa.nulls(n, pa.timestamp("us")),
-                "shard": _shard_column(batch["site_id"], num_shards),
-            },
-            schema=_PLAN_INPUT_SCHEMA,
-        )
+        return _frontier_side_table(batch, num_shards)
 
     def index_side(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "kind": pa.array(["i"] * n, pa.string()),
-                "url": batch["url"],
-                "lastmod": pa.nulls(n, pa.string()),
-                "priority": pa.nulls(n, pa.string()),
-                "site_id": batch["crawler_site_id"],
-                "seq": pa.nulls(n, pa.int64()),
-                "last_modified": batch["last_modified"],
-                "shard": _shard_column(batch["crawler_site_id"], num_shards),
-            },
-            schema=_PLAN_INPUT_SCHEMA,
-        )
+        return _index_side_table(batch, num_shards)
 
-    both = frontier.map_batches(
-        frontier_side, batch_format="pyarrow", batch_size=None
-    )
-    if index_state is not None:
-        both = both.union(
-            index_state.map_batches(
-                index_side, batch_format="pyarrow", batch_size=None
-            )
+    if premerged is not None:
+        both = premerged
+    else:
+        both = frontier.map_batches(
+            frontier_side, batch_format="pyarrow", batch_size=None
         )
+        if index_state is not None:
+            both = both.union(
+                index_state.map_batches(
+                    index_side, batch_format="pyarrow", batch_size=None
+                )
+            )
 
     robots = robots_map or {}
     purge_hosts = site_hosts

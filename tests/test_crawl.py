@@ -80,23 +80,20 @@ class TestResume:
 
         import ftw_crawler_ray.pipelines.crawl as crawl_mod
 
-        orig = crawl_mod.read_frontier
+        orig = crawl_mod.frontier_batch
 
-        def half_frontier(sf_dir, replicate=1):
+        def half_frontier_batch(batch):
             import pyarrow as pa
 
-            ds = orig(sf_dir, replicate)
-            return ds.map_batches(
-                lambda t: t.filter(pa.array(t["seq"].to_numpy() % 2 == 0)),
-                batch_format="pyarrow",
-            )
+            t = orig(batch)
+            return t.filter(pa.array(t["seq"].to_numpy() % 2 == 0))
 
-        crawl_mod.read_frontier = half_frontier
+        crawl_mod.frontier_batch = half_frontier_batch
         try:
             crawl(SF, out_dir=str(part), num_shards=4,
                   checkpoint_dir=str(part / "ckpt"))
         finally:
-            crawl_mod.read_frontier = orig
+            crawl_mod.frontier_batch = orig
         half_seen = read_seen_set(str(part / "ckpt"))
         assert half_seen < full_seen  # strictly partial
 
