@@ -4,8 +4,10 @@ Headline: the full crawl pipeline (frontier ∪ index_state →
 one shard shuffle with J1/is_modified/URL-seen/robots/politeness →
 fetch actor pool → 20-field extraction) over the synthetic corpus
 amplified ``GRAFT_REPLICATE``× (default 150 → ~750k pages at sf0.1).
-Shard count is fixed (32) across parallelism levels — partitioning
-is a data-layout choice, not a cluster-size function.
+Shard count is fixed (64) across parallelism levels — partitioning
+is a data-layout choice, not a cluster-size function (64 over the
+41-host corpus keeps the largest shard to ~2 hosts; the 32-shard
+layout's 3-host shard was a ~2.8 s scheduling straggler).
 
 Env:
     GRAFT_SF_DIR        input dir (default /root/testdata/sf0.1)
@@ -108,7 +110,7 @@ def _run_bench() -> dict:
     # untimed warmup: page cache + worker pool + one tiny end-to-end
     # crawl so imports / shuffle infra don't pollute the first timing
     ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
-    _w = scheduled_frontier(sf_dir, num_shards=32, replicate=1)
+    _w = scheduled_frontier(sf_dir, num_shards=64, replicate=1)
     fetch_pool(_w, sf_dir).count()
 
     queries: dict[str, float] = {}
@@ -132,14 +134,14 @@ def _run_bench() -> dict:
     timed(
         "schedule",
         lambda: scheduled_frontier(
-            sf_dir, num_shards=32, replicate=replicate
+            sf_dir, num_shards=64, replicate=replicate
         ).count(),
     )
 
     # headline — full crawl: schedule → fetch join → extract
     def full_crawl():
         sched = scheduled_frontier(
-            sf_dir, num_shards=32, replicate=replicate
+            sf_dir, num_shards=64, replicate=replicate
         )
         fetched = fetch_pool(sched, sf_dir)
         engine = ExtractionEngine(
