@@ -13,7 +13,7 @@ Env:
     GRAFT_SF_DIR        input dir (default /root/testdata/sf0.1)
     RAY_GRAFT_CPUS      ray.init num_cpus (default 32)
     GRAFT_REPLICATE     corpus amplification factor (default 150)
-    GRAFT_CRAWL_RUNS    headline repetitions, min reported (default 2)
+    GRAFT_CRAWL_RUNS    headline repetitions, min reported (default 3)
     GRAFT_QUERIES       comma list to restrict timed queries
     GRAFT_SCALING_REPS  (lo,hi) pairs in --scaling, min per level (default 2)
 
