@@ -169,6 +169,35 @@ class TestLiveCrawl:
         assert s2["plan_counts"].get("robots_blocked", 0) == 1
         assert s2["fetch_counts"].get("fetched", 0) == 0
 
+    def test_paced_crawl_matches_unpaced(self, ray_session, site_server,
+                                         tmp_path):
+        """pace=True engages planned-offset pacing AND the plan-read
+        fan-out (min_blocks per ~512 urls) — results must equal the
+        unpaced run, and the wall time must respect the politeness
+        budget (max planned offset for the single host)."""
+        import time as _time
+
+        sites = [Site(site_server + "/")]
+        out = tmp_path / "paced"
+        t0 = _time.time()
+        s = crawl_live(
+            sites, str(out), num_shards=2, pace=True,
+            base_sleeptime=0.05,
+        )
+        took = _time.time() - t0
+        assert s["plan_counts"]["scheduled"] == 7
+        assert s["fetch_counts"]["fetched"] == 5
+        docs = pads.dataset(str(out / "docs"), partitioning="hive").to_table(
+            columns=["url", "fetch_status"]
+        ).to_pylist()
+        fetched = {r["url"] for r in docs if r["fetch_status"] == "fetched"}
+        assert fetched == {
+            site_server + p for p in ("/a", "/b", "/c", "/hdr", "/file")
+        }
+        # 7 scheduled urls on one host at 0.05 s spacing → the last
+        # fetch waits for its offset; generous upper bound for noise
+        assert 0.05 * 2 <= took < 120
+
     def test_console_script_single_url(self, site_server, tmp_path):
         """The ``crawl config.py [url]`` console script (reference
         setup.py:55-58 parity): runs in its own process (own Ray
