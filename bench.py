@@ -88,12 +88,13 @@ def _run_bench() -> dict:
     from ray.data.context import ShuffleStrategy
 
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
-    # 16 MiB output blocks (default 128 MiB): the corpus has 41 hosts
-    # → ≤32 occupied shards, so the fused schedule→fetch stage runs
-    # ≤32 coarse tasks; at the default block size its 40-120 MB output
-    # blocks pass through whole and cap the (CPU-heavy) extract stage
-    # at the same ≤32 tasks with 3x size skew. Finer blocks re-fan
-    # extract to ~176 even tasks (A/B: 28.9s → 21.0s at 32 cpus).
+    # 16 MiB output blocks (default 128 MiB): post-shuffle task
+    # granularity is bounded by the 41-host corpus (~35 occupied
+    # shards at the 64-shard layout), and at the default block size
+    # the 40-120 MB fetch output blocks pass through whole, capping
+    # the CPU-heavy extract stage at the same coarse task count.
+    # Finer blocks re-fan extract to ~100-176 even tasks (A/B under
+    # the earlier 32-shard layout: 28.9s → 21.0s at 32 cpus).
     ctx.target_max_block_size = 16 * 1024 * 1024
     _quiet_known_schema_warning()
 

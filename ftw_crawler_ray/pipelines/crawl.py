@@ -246,6 +246,7 @@ def schedule_datasets(
     force: bool = False,
     n_429_for=None,
     premerged: ray.data.Dataset | None = None,
+    sleeptime_by_host: dict[str, float] | None = None,
 ) -> ray.data.Dataset:
     """The generalized scheduling core behind ``scheduled_frontier``
     (corpus) and ``crawl_live`` (real sitemaps/HTTP): frontier rows
@@ -313,6 +314,7 @@ def schedule_datasets(
             shard_id,
             checkpoint_dir=checkpoint_dir,
             seen_mode=seen_mode,
+            sleeptime_by_host=sleeptime_by_host,
             robots_map=robots,
             run_id=run_id,
         )

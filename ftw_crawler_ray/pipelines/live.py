@@ -167,6 +167,10 @@ def crawl_live(
         robots_map=live_robots(sites, fetch),
         run_id=run_id,
         force=force,
+        # per-Site politeness spacing (reference configuration.py:67)
+        sleeptime_by_host={
+            host_of(site.url): site.sleeptime for site in sites
+        },
     )
     sched.write_parquet(f"{out_dir}/plan")
     if checkpoint_dir:

@@ -548,7 +548,8 @@ def pack_sequences(sf_dir: str, window: int = 512,
             return mid.empty_table()
         ids = batch["doc_id"].to_numpy().astype(np.int64)
         n = np.array(
-            [len(t.split()) for t in batch["text"].to_pylist()], np.int64
+            [len(t.split()) if t is not None else 0
+             for t in batch["text"].to_pylist()], np.int64
         )
         part = (
             (ids.astype(np.uint64) * np.uint64(2654435761))

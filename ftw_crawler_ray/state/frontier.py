@@ -116,6 +116,7 @@ class FrontierShard:
     def __init__(self, shard_id: int, checkpoint_dir: str | None = None,
                  seen_mode: str = "exact", capacity: int = 1 << 20,
                  default_sleeptime: float = 0.1,
+                 sleeptime_by_host: dict[str, float] | None = None,
                  robots_map: dict[str, str] | None = None,
                  run_id: str | None = None):
         self.shard_id = shard_id
@@ -126,7 +127,10 @@ class FrontierShard:
             self.seen = CuckooFilter(capacity)
         else:
             self.seen = ExactSeenSet()
-        self.politeness = PolitenessState(default_sleeptime)
+        self._sleeptime_by_host = sleeptime_by_host or {}
+        self.politeness = PolitenessState(
+            default_sleeptime, overrides=self._sleeptime_by_host
+        )
         self.robots = RobotsCache()
         for host, txt in (robots_map or {}).items():
             self.robots.put(host, txt)
@@ -157,6 +161,9 @@ class FrontierShard:
         else:
             self.seen = ExactSeenSet.from_bytes(row["seen_bytes"])
         self.politeness = PolitenessState.from_bytes(row["politeness_bytes"])
+        # per-host configured sleeptimes are config, not checkpointed
+        # state — reattach for hosts the checkpoint hasn't seen yet
+        self.politeness.overrides = self._sleeptime_by_host
         self.robots = RobotsCache.from_bytes(row["robots_bytes"])
         self.high_seq = row["high_seq"]
         self.n_seen = row["n_seen"]

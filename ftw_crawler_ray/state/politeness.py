@@ -43,15 +43,25 @@ class HostBudget:
 
 
 class PolitenessState:
-    """host → HostBudget map, JSON-serializable for checkpoints."""
+    """host → HostBudget map, JSON-serializable for checkpoints.
 
-    def __init__(self, default_sleeptime: float = 0.1):
+    ``overrides`` carries per-host configured sleeptimes (the
+    reference's per-``Site`` sleeptime, configuration.py:67) — config,
+    not state: it is NOT serialized, and a host already present in a
+    loaded checkpoint keeps its persisted (possibly 429-doubled)
+    sleeptime."""
+
+    def __init__(self, default_sleeptime: float = 0.1,
+                 overrides: dict[str, float] | None = None):
         self.default_sleeptime = default_sleeptime
+        self.overrides = overrides or {}
         self.hosts: dict[str, HostBudget] = {}
 
     def budget(self, host: str) -> HostBudget:
         if host not in self.hosts:
-            self.hosts[host] = HostBudget(self.default_sleeptime)
+            self.hosts[host] = HostBudget(
+                self.overrides.get(host, self.default_sleeptime)
+            )
         return self.hosts[host]
 
     def to_bytes(self) -> bytes:

@@ -173,17 +173,18 @@ class TestLiveCrawl:
                                          tmp_path):
         """pace=True engages planned-offset pacing AND the plan-read
         fan-out (min_blocks per ~512 urls) — results must equal the
-        unpaced run, and the wall time must respect the politeness
-        budget (max planned offset for the single host)."""
+        unpaced run, and the crawl CANNOT finish before the last
+        planned offset elapses (the politeness guarantee: each fetch
+        waits until crawl_start + its scheduler offset, so wall time
+        ≥ max planned_offset regardless of how the plan was split)."""
         import time as _time
 
-        sites = [Site(site_server + "/")]
+        # politeness spacing comes from the SITE config (reference
+        # configuration.py:67), not the fetch actor's 429 base
+        sites = [Site(site_server + "/", sleeptime=1.0)]
         out = tmp_path / "paced"
         t0 = _time.time()
-        s = crawl_live(
-            sites, str(out), num_shards=2, pace=True,
-            base_sleeptime=0.05,
-        )
+        s = crawl_live(sites, str(out), num_shards=2, pace=True)
         took = _time.time() - t0
         assert s["plan_counts"]["scheduled"] == 7
         assert s["fetch_counts"]["fetched"] == 5
@@ -194,9 +195,18 @@ class TestLiveCrawl:
         assert fetched == {
             site_server + p for p in ("/a", "/b", "/c", "/hdr", "/file")
         }
-        # 7 scheduled urls on one host at 0.05 s spacing → the last
-        # fetch waits for its offset; generous upper bound for noise
-        assert 0.05 * 2 <= took < 120
+        # the scheduler's own plan gives the exact politeness budget
+        plan = pads.dataset(str(out / "plan")).to_table(
+            columns=["status", "planned_offset"]
+        ).to_pylist()
+        max_offset = max(
+            (r["planned_offset"] or 0.0) for r in plan
+            if r["status"] == "scheduled"
+        )
+        # 7 urls on one host at 1.0 s spacing → a bound large enough
+        # that a silently-disabled sleep (crawl overhead alone) fails
+        assert max_offset >= 1.0 * 5
+        assert took >= max_offset
 
     def test_console_script_single_url(self, site_server, tmp_path):
         """The ``crawl config.py [url]`` console script (reference
