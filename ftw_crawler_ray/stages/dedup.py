@@ -19,6 +19,7 @@ are deterministic across runs/processes.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -902,7 +903,8 @@ def simhash_near_dups(sf_dir: str, radius: int = 3,
 
 def dedup_clusters(sf_dir: str, threshold: float = 0.8,
                    n_perm: int = _N_PERM_DEFAULT, n_bands: int = 16,
-                   k: int = 5, num_parts: int = 64) -> ray.data.Dataset:
+                   k: int = 5, num_parts: int = 64,
+                   scratch_dir: "str | None" = None) -> ray.data.Dataset:
     """PRODUCTION dedup composition: exact dedup FIRST (collapses
     m-way identical-text cliques to one keeper with m-1 edges instead
     of O(m²) candidate pairs), then MinHash near-dup over the per-hash
@@ -992,19 +994,29 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8,
 
     from .util import attach_column
 
-    # materialized ONCE: the verify pipeline consumes keeper_texts
-    # three times (signatures + both lookup sides); blocks live in the
-    # object store (spillable), never on the driver
-    keeper_texts = attach_column(
+    # Keeper texts are staged to PARQUET once and re-read per consumer
+    # (the verify pipeline consumes them three times: signatures +
+    # both lookup sides). A `.materialize()` here would pin the full
+    # text of every unique document in the object store for the run's
+    # duration — a whole-corpus pin competing with the dedup shuffles
+    # for store/disk at 100 TB. The staged read costs the same 3×
+    # bytes but streams from disk with zero pinning, and the staging
+    # directory composes with a run-dir checkpoint discipline
+    # (state/frontier.py) when the caller passes ``scratch_dir``.
+    import tempfile
+
+    stage_root = scratch_dir or tempfile.mkdtemp(prefix="ftw_dedup_keepers_")
+    keeper_dir = os.path.join(stage_root, "keeper_texts")
+    attach_column(
         keepers, docs, item_key="doc_id", lookup_key="doc_id",
         payload_col="text", out_col="text",
         item_schema=pa.schema([("doc_id", pa.int64())]),
         payload_type=pa.string(),
         num_parts=16,
-    ).repartition(16).materialize()
-    # ^ coalesce: a 64-partition groupby output is 64+ near-empty
-    # blocks, and block count multiplies TASK count in every
-    # downstream stage (batch_size=None preserves blocks)
+    ).write_parquet(keeper_dir)
+    keeper_texts = sized_read_parquet(
+        keeper_dir, columns=["doc_id", "text"]
+    )
     near_edges = minhash_verified_pairs(
         sf_dir, threshold, n_perm, n_bands, k, docs=keeper_texts
     ).select_columns(["doc_a", "doc_b"])

@@ -107,13 +107,99 @@ class RealImageCodec:  # pragma: no cover - stub by design
         raise NotImplementedError("image libraries not available in sandbox")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}  # SOFn minus DHT/JPG/DAC
+
+
+def parse_image_header(payload: bytes):
+    """Container-format sniff + dimension parse, pure Python — no
+    image library needed (the container formats are public specs):
+
+    - PNG: 8-byte signature, then the IHDR chunk carries width/height
+      as big-endian uint32 at bytes 16..24.
+    - JPEG: walk the marker segments from SOI to the first SOFn
+      (baseline/progressive frame header): precision(1) height(2)
+      width(2) big-endian after the segment length.
+    - GIF: 'GIF87a'/'GIF89a' then logical-screen width/height as
+      little-endian uint16.
+
+    Returns (format, width, height) or None if the payload is none
+    of the three."""
+    if payload[:8] == _PNG_SIG and payload[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", payload[16:24])
+        return ("png", w, h)
+    if payload[:2] == b"\xff\xd8":
+        i, n = 2, len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                i += 1
+                continue
+            marker = payload[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF_MARKERS:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return ("gif", w, h)
+    return None
+
+
+class HeaderImageCodec:
+    """Real-container codec for the feature stage: true dimensions
+    from PNG/JPEG/GIF headers (pure Python, public specs); "pixel"
+    stats are computed over the CONTAINER bytes (honestly labeled —
+    full pixel decode still needs an image library; resize stays
+    NotImplementedError like :class:`RealImageCodec`)."""
+
+    def decode(self, payload: bytes):
+        parsed = parse_image_header(payload)
+        if parsed is None:
+            raise ValueError("not a PNG/JPEG/GIF payload")
+        _, w, h = parsed
+        return w, h, np.frombuffer(payload, dtype=np.uint8)
+
+    def resize(self, payload: bytes, max_side: int):  # pragma: no cover
+        raise NotImplementedError(
+            "pixel resampling needs an image library; header codec "
+            "reads dimensions only"
+        )
+
+
+class AutoImageCodec:
+    """Dispatching codec: FIMG payloads decode through the fake codec
+    (full pixel stats), real PNG/JPEG/GIF containers through the
+    header codec (true dimensions, container-byte stats)."""
+
+    def __init__(self):
+        self.fake = FakeImageCodec()
+        self.header = HeaderImageCodec()
+
+    def decode(self, payload: bytes):
+        if payload[:4] == _IMG_MAGIC:
+            return self.fake.decode(payload)
+        return self.header.decode(payload)
+
+    def resize(self, payload: bytes, max_side: int):
+        if payload[:4] == _IMG_MAGIC:
+            return self.fake.resize(payload, max_side)
+        return self.header.resize(payload, max_side)
+
+
 class ImageFeatures:
     """Actor-pool stage: decode → (width, height, n_pixels,
     16-bin byte histogram, content digest); payload projected away.
     Codec built once per actor (__init__), work per batch."""
 
     def __init__(self, codec=None):
-        self.codec = codec if codec is not None else FakeImageCodec()
+        self.codec = codec if codec is not None else AutoImageCodec()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, n_pixels, hists, digests = [], [], [], [], []

@@ -449,64 +449,260 @@ def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
     )
 
 
-def strip_repeated_ngrams(sf_dir: str, k: int = 5,
-                          min_docs: int = 5) -> ray.data.Dataset:
+def strip_repeated_ngrams(sf_dir: str, k: int = 5, min_docs: int = 5,
+                          broadcast_budget: int = 4_000_000,
+                          num_parts: int = 64) -> ray.data.Dataset:
     """Boilerplate REMOVAL (the companion of repeated_ngrams):
     drop every word covered by a k-gram that appears in ≥ min_docs
     documents. The hot-gram set is derived DISTRIBUTED
     (``hot_gram_hashes``: streamed gram emit + fixed-partition
-    count), collected — it is boilerplate-sized even when the corpus
-    is not — and broadcast once via the object store; each doc's
-    coverage mask is then a vectorized span-or over its shingle
-    positions, no further shuffle. Output: (doc_id, clean_text,
-    n_removed)."""
-    from .dedup import MinHasher, shingles
+    count) and then applied one of two ways, chosen by its actual
+    size (materialized as bare int64 hashes — vocabulary-, not
+    corpus-, sized — so the count is free and neither path
+    re-derives):
 
-    hot = {
-        row["h"] + (1 << 63)                      # back to raw uint64 ints
-        for row in hot_gram_hashes(sf_dir, k, min_docs).take_all()
-    }
-    hot_ref = ray.put(frozenset(hot))
+    - ``≤ broadcast_budget`` hashes (default 4M ≈ 32 MB): broadcast
+      the set once via the object store; each doc's coverage mask is
+      a vectorized span-or over its shingle positions, no further
+      shuffle. This is the boilerplate-shaped fast path.
+    - above the budget (web-scale corpora, where grams in ≥ min_docs
+      docs scale with corpus vocabulary, not with boilerplate):
+      hash-partition SEMI-JOIN — per-doc (gram_hash, doc_id, pos)
+      rows co-partition with the hot table on ``hash(h)``, matched
+      positions regroup per doc into a span list, and one left
+      lookup-join (util.attach_column) carries the list back onto
+      the text. The driver never sees the hot set; the wide shuffle
+      moves int rows only, and document text moves exactly once.
+
+    Both paths emit identical rows (equivalence-tested). Output:
+    (doc_id, clean_text, n_removed)."""
+    from .dedup import MinHasher, shingles
+    from .util import attach_column
+
+    hot_mat = hot_gram_hashes(sf_dir, k, min_docs, num_parts).materialize()
+    n_hot = hot_mat.count()
     docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
-    class Stripper:
+    def _strip_rows(doc_ids, texts, positions_iter, cache):
+        """Shared final kernel: apply hot spans (as position arrays)
+        to each doc. ``positions_iter`` yields an int array of
+        covered shingle start positions per doc (or None)."""
+        ids, cleaned, removed = [], [], []
+        for doc_id, text, pos in zip(doc_ids, texts, positions_iter):
+            words = text.split()
+            kk = min(k, max(1, len(words)))
+            mask = np.zeros(len(words), dtype=bool)
+            if pos is not None and len(pos) and len(words):
+                # span-or via a difference array: +1 at starts, -1
+                # past ends, cumsum > 0 — O(words), no Python loop
+                d = np.zeros(len(words) + 1, dtype=np.int64)
+                np.add.at(d, np.minimum(pos, len(words) - 1), 1)
+                np.add.at(d, np.minimum(pos + kk, len(words)), -1)
+                mask = np.cumsum(d[:-1]) > 0
+            kept = [w for w, m in zip(words, mask) if not m]
+            ids.append(doc_id)
+            cleaned.append(" ".join(kept))
+            removed.append(int(mask.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "clean_text": pa.array(cleaned, pa.string()),
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    if n_hot <= broadcast_budget:
+        hot = {
+            row["h"] + (1 << 63)                  # back to raw uint64 ints
+            for row in hot_mat.take_all()
+        }
+        hot_ref = ray.put(frozenset(hot))
+
+        class Stripper:
+            def __init__(self):
+                self.hot = None
+                self.cache: dict[str, int] = {}
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self.hot is None:
+                    import ray as _ray
+
+                    self.hot = _ray.get(hot_ref)
+                if len(self.cache) > MinHasher._CACHE_LIMIT:
+                    self.cache.clear()
+
+                def positions():
+                    for text in batch["text"].to_pylist():
+                        hs = shingles(text, k, self.cache)
+                        yield np.nonzero(
+                            np.fromiter(
+                                (h in self.hot for h in hs.tolist()),
+                                dtype=bool, count=len(hs),
+                            )
+                        )[0]
+
+                return _strip_rows(batch["doc_id"].to_pylist(),
+                                   batch["text"].to_pylist(),
+                                   positions(), self.cache)
+
+        return docs.map_batches(Stripper, batch_format="pyarrow",
+                                batch_size=None, concurrency=(1, 4))
+
+    # --- over-budget: hash-partition semi-join path ---
+    mid = pa.schema([("h", pa.int64()), ("doc_id", pa.int64()),
+                     ("pos", pa.int32()), ("is_hot", pa.int8()),
+                     ("__part", pa.int32())])
+    matched_schema = pa.schema([("doc_id", pa.int64()), ("pos", pa.int32())])
+
+    class PosEmitter:
+        """One (gram_hash, doc_id, pos) row per shingle POSITION (not
+        distinct — the strip needs every covered span)."""
+
         def __init__(self):
-            self.hot = None
             self.cache: dict[str, int] = {}
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.hot is None:
-                import ray as _ray
-
-                self.hot = _ray.get(hot_ref)
             if len(self.cache) > MinHasher._CACHE_LIMIT:
                 self.cache.clear()
-            ids, cleaned, removed = [], [], []
+            hs_all, ids_all, pos_all = [], [], []
             for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                     batch["text"].to_pylist()):
-                words = text.split()
-                hashes = shingles(text, k, self.cache)
-                kk = min(k, max(1, len(words)))
-                mask = np.zeros(len(words), dtype=bool)
-                for i, h in enumerate(hashes.tolist()):
-                    if h in self.hot:
-                        mask[i:i + kk] = True
-                kept = [w for w, m in zip(words, mask) if not m]
-                ids.append(doc_id)
-                cleaned.append(" ".join(kept))
-                removed.append(int(mask.sum()))
+                hs = shingles(text, k, self.cache)
+                # raw uint64 → (raw − 2⁶³) as int64, matching
+                # hot_gram_hashes' shifted key space: flip the top
+                # bit, reinterpret (two's-complement identity)
+                hs_all.append((hs ^ np.uint64(1 << 63)).view(np.int64))
+                ids_all.append(np.full(len(hs), doc_id, np.int64))
+                pos_all.append(np.arange(len(hs), dtype=np.int32))
+            if not hs_all:
+                return mid.empty_table()
+            h = np.concatenate(hs_all)
+            part = (
+                (h.astype(np.uint64) * np.uint64(2654435761))
+                % np.uint64(part_space(num_parts))
+            ).astype(np.int32)
             return pa.table(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "clean_text": pa.array(cleaned, pa.string()),
-                    "n_removed": pa.array(removed, pa.int64()),
-                }
+                {"h": pa.array(h, pa.int64()),
+                 "doc_id": pa.array(np.concatenate(ids_all), pa.int64()),
+                 "pos": pa.array(np.concatenate(pos_all), pa.int32()),
+                 "is_hot": pa.array(
+                     np.zeros(len(h), np.int8), pa.int8()),
+                 "__part": pa.array(part, pa.int32())},
+                schema=mid,
             )
 
-    return docs.map_batches(Stripper, batch_format="pyarrow",
-                            batch_size=None, concurrency=(1, 4))
+    def tag_hot(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return mid.empty_table()
+        h = t["h"].to_numpy().astype(np.int64)
+        part = (
+            (h.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(part_space(num_parts))
+        ).astype(np.int32)
+        n = len(h)
+        return pa.table(
+            {"h": pa.array(h, pa.int64()),
+             "doc_id": pa.array(np.full(n, -1, np.int64), pa.int64()),
+             "pos": pa.array(np.full(n, -1, np.int32), pa.int32()),
+             "is_hot": pa.array(np.ones(n, np.int8), pa.int8()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid,
+        )
+
+    def match_part(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "h" not in group.column_names:
+            return matched_schema.empty_table()
+        is_hot = group["is_hot"].to_numpy().astype(bool)
+        hot_h = np.unique(group["h"].to_numpy()[is_hot])
+        if len(hot_h) == 0 or is_hot.all():
+            return matched_schema.empty_table()
+        gh = group["h"].to_numpy()[~is_hot]
+        idx = np.searchsorted(hot_h, gh)
+        idx_c = np.minimum(idx, len(hot_h) - 1)
+        hit = hot_h[idx_c] == gh
+        return pa.table(
+            {"doc_id": pa.array(
+                group["doc_id"].to_numpy()[~is_hot][hit], pa.int64()),
+             "pos": pa.array(
+                 group["pos"].to_numpy()[~is_hot][hit], pa.int32())},
+            schema=matched_schema,
+        )
+
+    grams = docs.map_batches(stateful(PosEmitter),
+                             batch_format="pyarrow", batch_size=None)
+    matched = partitioned_groups(
+        grams.union(hot_mat.map_batches(
+            tag_hot, batch_format="pyarrow", batch_size=None)),
+        match_part, mid_schema=mid, num_parts=num_parts,
+    )
+
+    # regroup matched positions per doc into one list row
+    mid2 = pa.schema([("doc_id", pa.int64()), ("pos", pa.int32()),
+                      ("__part", pa.int32())])
+    pos_list = pa.list_(pa.int32())
+    grouped_schema = pa.schema([("doc_id", pa.int64()),
+                                ("positions", pos_list)])
+
+    def tag_doc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return mid2.empty_table()
+        d = t["doc_id"].to_numpy().astype(np.int64)
+        part = (
+            (d.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(part_space(num_parts))
+        ).astype(np.int32)
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+             "pos": t["pos"].combine_chunks().cast(pa.int32()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid2,
+        )
+
+    def group_doc(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return grouped_schema.empty_table()
+        d = group["doc_id"].to_numpy()
+        p = group["pos"].to_numpy()
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        starts = np.nonzero(np.r_[True, np.diff(d) != 0])[0]
+        offsets = np.r_[starts, len(d)].astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(p, pa.int32())
+        )
+        return pa.table(
+            {"doc_id": pa.array(d[starts], pa.int64()),
+             "positions": lists.cast(pos_list)},
+            schema=grouped_schema,
+        )
+
+    doc_positions = partitioned_groups(
+        matched.map_batches(tag_doc, batch_format="pyarrow",
+                            batch_size=None),
+        group_doc, mid_schema=mid2, num_parts=num_parts,
+    )
+
+    item_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    with_pos = attach_column(
+        docs, doc_positions,
+        item_key="doc_id", lookup_key="doc_id",
+        payload_col="positions", out_col="positions",
+        item_schema=item_schema, payload_type=pos_list,
+        num_parts=num_parts, how="left",
+    )
+
+    def strip_batch(batch: pa.Table) -> pa.Table:
+        def positions():
+            for v in batch["positions"].to_pylist():
+                yield None if v is None else np.asarray(v, np.int64)
+
+        return _strip_rows(batch["doc_id"].to_pylist(),
+                           batch["text"].to_pylist(), positions(), None)
+
+    return with_pos.map_batches(strip_batch, batch_format="pyarrow",
+                                batch_size=None)
 
 
 def pack_sequences(sf_dir: str, window: int = 512,

@@ -217,10 +217,12 @@ def attach_column(
     item_schema: pa.Schema,
     payload_type: pa.DataType,
     num_parts: int = 64,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Equi-join one payload column onto ``items`` (inner-join
-    semantics) via a tagged union + FIXED-partition shuffle + an
-    in-partition hash join.
+    """Equi-join one payload column onto ``items`` (``how="inner"``,
+    the default, drops unmatched items; ``how="left"`` keeps them
+    with a null payload) via a tagged union + FIXED-partition shuffle
+    + an in-partition hash join.
 
     Why not ``Dataset.join``: Ray 2.49's hash-shuffle join (a) crashes
     on any shuffle partition that receives zero shards on one side
@@ -280,8 +282,14 @@ def attach_column(
         is_item = pc.equal(group["__is_item"], 1)
         item_rows = group.filter(is_item)
         payload_rows = group.filter(pc.invert(is_item))
-        if item_rows.num_rows == 0 or payload_rows.num_rows == 0:
+        if item_rows.num_rows == 0:
             return out_schema.empty_table()
+        if payload_rows.num_rows == 0:
+            if how != "left":
+                return out_schema.empty_table()
+            cols = {f.name: item_rows[f.name] for f in item_schema}
+            cols[out_col] = pa.nulls(item_rows.num_rows, payload_type)
+            return pa.table(cols, schema=out_schema)
         # vectorized hash join: sorted payload keys + searchsorted +
         # Arrow take — no per-row Python, and list/large payloads move
         # by buffer, not through pylist round-trips
@@ -292,6 +300,17 @@ def attach_column(
         pos = np.searchsorted(pk_sorted, ik)
         pos_c = np.minimum(pos, len(pk_sorted) - 1)
         hit = pk_sorted[pos_c] == ik
+        if how == "left":
+            # null-padded take: a null index yields a null output slot,
+            # which works for ANY payload type (lists included)
+            idx = pa.array(order[pos_c].astype(np.int64), mask=~hit)
+            payload = (
+                payload_rows[out_col].combine_chunks()
+                .cast(payload_type).take(idx)
+            )
+            cols = {f.name: item_rows[f.name] for f in item_schema}
+            cols[out_col] = payload
+            return pa.table(cols, schema=out_schema)
         item_rows = item_rows.filter(pa.array(hit))  # inner-join semantics
         sel = order[pos_c[hit]]
         payload = payload_rows.take(pa.array(sel, pa.int64()))[out_col]

@@ -87,30 +87,85 @@ def sliding_window_counts(sf_dir: str, size_minutes: int = 60,
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> ray.data.Dataset:
-    """Session windows per user: sort within user group by ts, break
+def sessionize(sf_dir: str, gap_minutes: int = 30,
+               num_parts: int = 64) -> ray.data.Dataset:
+    """Session windows per user: break each user's ts-ordered events
     at > gap; emits (user_id, session_id, n_events, start, end).
-    Partitioning assumption: one user's events fit one group (true for
-    per-user event logs; a hot user would need salting + merge)."""
-    events = sized_read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
-    )
-    gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(group: pa.Table) -> pa.Table:
-        ts = np.sort(group["ts"].to_numpy())
-        user = group["user_id"][0].as_py()
-        breaks = np.where(np.diff(ts) > gap)[0]
-        starts = np.concatenate([[0], breaks + 1])
-        ends = np.concatenate([breaks, [len(ts) - 1]])
+    Lowered onto the fixed-partition shape (util.partitioned_groups),
+    NOT ``groupby(user_id).map_groups``: distinct keys = distinct
+    users, and Ray pays Python dispatch per group — corpus-scale user
+    counts would cost minutes for work one lexsort does in
+    milliseconds (the CLAUDE.md anti-pattern). Here the shuffle key is
+    ``hash(user_id) % part_space(num_parts)`` (one user never splits
+    across partitions), and each partition finds EVERY user's session
+    breaks with one ``np.lexsort((ts, user))`` + one vectorized
+    diff/cumsum pass. Wall time is linear in rows, not in users.
+    Partitioning assumption: one user's events fit one partition
+    (true for per-user event logs; partitions hold ~n_users/num_parts
+    users each, so only a single user exceeding a worker's memory
+    would need salting + merge)."""
+    events = sized_read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    gap_us = np.int64(gap_minutes * 60) * np.int64(1_000_000)
+
+    mid_schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.int64()), ("__part", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [("user_id", pa.int64()), ("session_id", pa.int64()),
+         ("n_events", pa.int64()),
+         ("session_start", pa.timestamp("us")),
+         ("session_end", pa.timestamp("us"))]
+    )
+
+    from .util import part_space, partitioned_groups
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return mid_schema.empty_table()
+        user = t["user_id"].to_numpy().astype(np.int64)
+        ts = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        part = (
+            (user.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(part_space(num_parts))
+        ).astype(np.int32)
         return pa.table(
-            {
-                "user_id": pa.array([user] * len(starts), pa.int64()),
-                "session_id": pa.array(range(len(starts)), pa.int64()),
-                "n_events": pa.array((ends - starts + 1).tolist(), pa.int64()),
-                "session_start": pa.array(ts[starts], pa.timestamp("us")),
-                "session_end": pa.array(ts[ends], pa.timestamp("us")),
-            }
+            {"user_id": pa.array(user, pa.int64()),
+             "ts": pa.array(ts, pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid_schema,
         )
 
-    return events.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    def sessions(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "user_id" not in group.column_names:
+            return out_schema.empty_table()
+        user = group["user_id"].to_numpy().astype(np.int64)
+        ts = group["ts"].to_numpy().astype(np.int64)
+        order = np.lexsort((ts, user))
+        user, ts = user[order], ts[order]
+        new_user = np.r_[True, np.diff(user) != 0]
+        brk = new_user | np.r_[True, np.diff(ts) > gap_us]
+        starts = np.nonzero(brk)[0]
+        ends = np.r_[starts[1:] - 1, len(ts) - 1]
+        seg_user = user[starts]
+        seg_idx = np.arange(len(starts), dtype=np.int64)
+        first_seg = np.maximum.accumulate(
+            np.where(np.r_[True, np.diff(seg_user) != 0], seg_idx, 0)
+        )
+        return pa.table(
+            {"user_id": pa.array(seg_user, pa.int64()),
+             "session_id": pa.array(seg_idx - first_seg, pa.int64()),
+             "n_events": pa.array(ends - starts + 1, pa.int64()),
+             "session_start": pa.array(
+                 ts[starts].astype("datetime64[us]"), pa.timestamp("us")),
+             "session_end": pa.array(
+                 ts[ends].astype("datetime64[us]"), pa.timestamp("us"))},
+            schema=out_schema,
+        )
+
+    return partitioned_groups(
+        events.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        sessions, mid_schema=mid_schema, num_parts=num_parts,
+    )

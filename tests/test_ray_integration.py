@@ -486,11 +486,10 @@ class TestDedupComposition:
 
 
 class TestBoilerplateRemoval:
-    def test_strip_removes_shared_passages_only(self, ray_session, tmp_path):
+    @staticmethod
+    def _write_corpus(tmp_path):
         import pyarrow as pa
         import pyarrow.parquet as pq
-
-        from ftw_crawler_ray.stages.textstats import strip_repeated_ngrams
 
         boiler = "subscribe to our newsletter for weekly updates now"
         texts = [f"unique document body number {i} " + boiler
@@ -500,7 +499,17 @@ class TestBoilerplateRemoval:
                       "text": pa.array(texts, pa.string())}),
             str(tmp_path / "documents.parquet"),
         )
-        df = strip_repeated_ngrams(str(tmp_path), k=5, min_docs=5).to_pandas()
+
+    @pytest.mark.parametrize("budget", [4_000_000, 0],
+                             ids=["broadcast", "semijoin"])
+    def test_strip_removes_shared_passages_only(self, ray_session, tmp_path,
+                                                budget):
+        from ftw_crawler_ray.stages.textstats import strip_repeated_ngrams
+
+        self._write_corpus(tmp_path)
+        df = strip_repeated_ngrams(
+            str(tmp_path), k=5, min_docs=5, broadcast_budget=budget
+        ).to_pandas()
         by = df.set_index("doc_id")
         # the shared passage vanished from every sharing doc
         for i in range(6):
@@ -510,3 +519,21 @@ class TestBoilerplateRemoval:
         # the unique doc is untouched
         assert by.loc[6, "clean_text"] == "a fully unique document body here"
         assert by.loc[6, "n_removed"] == 0
+
+    def test_broadcast_and_semijoin_paths_identical(self, ray_session,
+                                                    tmp_path):
+        """budget=0 forces the hash-partition semi-join (the web-scale
+        path, no driver take_all of the hot set); it must emit rows
+        identical to the broadcast fast path."""
+        import pandas as pd
+
+        from ftw_crawler_ray.stages.textstats import strip_repeated_ngrams
+
+        self._write_corpus(tmp_path)
+        a = (strip_repeated_ngrams(str(tmp_path), k=5, min_docs=5)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        b = (strip_repeated_ngrams(str(tmp_path), k=5, min_docs=5,
+                                   broadcast_budget=0)
+             .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(a, b)
+        assert a["n_removed"].sum() > 0  # the corpus really has boilerplate

@@ -127,6 +127,62 @@ class TestMultimodal:
         assert sum(rows[0]["histogram"]) == rows[0]["n_pixels"]
         assert "payload" not in out.column_names  # projected away
 
+    @staticmethod
+    def _png_bytes(w, h):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = struct.pack(">I", 13) + b"IHDR" + ihdr
+        chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        return b"\x89PNG\r\n\x1a\n" + chunk
+
+    @staticmethod
+    def _jpeg_bytes(w, h):
+        import struct
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    @staticmethod
+    def _gif_bytes(w, h):
+        import struct
+
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 5
+
+    def test_header_parse_real_containers(self):
+        from ftw_crawler_ray.stages.multimodal import parse_image_header
+
+        assert parse_image_header(self._png_bytes(320, 240)) == ("png", 320, 240)
+        assert parse_image_header(self._jpeg_bytes(640, 480)) == ("jpeg", 640, 480)
+        assert parse_image_header(self._gif_bytes(17, 23)) == ("gif", 17, 23)
+        assert parse_image_header(b"not an image at all") is None
+        assert parse_image_header(fake_image_bytes(1)) is None
+
+    def test_image_features_true_dimensions_for_real_formats(self):
+        """The feature stage reads TRUE dimensions out of real
+        PNG/JPEG/GIF containers (pure-Python header parse) while FIMG
+        payloads keep full fake-pixel stats — same actor signature."""
+        payloads = [self._png_bytes(320, 240), self._jpeg_bytes(640, 480),
+                    self._gif_bytes(17, 23), fake_image_bytes(3)]
+        batch = pa.table(
+            {
+                "media_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "modality": ["image"] * 4,
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+        rows = ImageFeatures()(batch).to_pylist()
+        assert (rows[0]["width"], rows[0]["height"]) == (320, 240)
+        assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
+        assert (rows[2]["width"], rows[2]["height"]) == (17, 23)
+        # container-byte stats for real formats: histogram over payload
+        assert rows[0]["n_pixels"] == len(payloads[0])
+        # fake format unchanged: pixel stats
+        assert rows[3]["n_pixels"] == rows[3]["width"] * rows[3]["height"]
+
     def test_resizer_shrinks(self):
         batch = pa.table(
             {
