@@ -75,6 +75,35 @@ inter AS (
     GROUP BY 1, 2
 )"""
 
+# SimHash signature CTE — shared by the simhash and simhash_pairs
+# oracles. Recomputes the engine's signature exactly: md5-prefix
+# uint64 per word (stages/dedup.py _word_hash_md5), ±1 vote per bit,
+# majority → bit set; empty/whitespace-only text → 0.
+SQL_SIMHASH_SIG = r"""WITH swords AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(
+               trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE trim(text) != ''
+),
+swh AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(w), 1, 16)) AS UBIGINT) AS h
+    FROM swords
+),
+sbits AS (
+    SELECT doc_id, b.bit,
+           sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+    FROM swh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+    GROUP BY doc_id, b.bit
+),
+sig AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN acc > 0 THEN (CAST(1 AS UBIGINT) << bit)
+                         ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+    FROM sbits GROUP BY doc_id
+)
+"""
+
 SQL_INDEX_STATE = r"""
 index_state AS (
     SELECT u.url,
@@ -1043,5 +1072,72 @@ SELECT d.doc_id, d.lang,
             WHEN h.de >= h.fr THEN 'de'
             ELSE 'fr' END AS lang_pred
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+""",
+        # SimHash recomputed bit-for-bit in SQL: md5-prefix word hash
+        # (engine: dedup._word_hash_md5), ±1 majority vote per bit.
+        # UBIGINT casts keep pandas dtype uint64 = the engine's column.
+        "simhash": SQL_SIMHASH_SIG + r"""
+SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash,
+       CAST(coalesce(s.simhash, CAST(0 AS UBIGINT)) >> 48 AS UINTEGER)
+           AS bucket
+FROM documents d LEFT JOIN sig s USING (doc_id)
+""",
+        # Pair oracle is EXACT, not approximate: with 8 rotations of a
+        # 16-bit prefix window (step 8), every bit lies in exactly 2
+        # windows, so ≤ 3 differing bits kill ≤ 6 of 8 windows — a
+        # clean window always survives and the engine's bucketed pair
+        # gen has guaranteed recall at radius 3. O(n²) here is the
+        # oracle's cost, not the engine's.
+        "simhash_pairs": SQL_SIMHASH_SIG + r"""
+, full_sig AS (
+    SELECT d.doc_id, coalesce(s.simhash, CAST(0 AS UBIGINT)) AS simhash
+    FROM documents d LEFT JOIN sig s USING (doc_id)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM full_sig a JOIN full_sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+        # Greedy first-fit packing IS SQL-expressible per packer
+        # partition: a recursive CTE threads the running fill through
+        # doc_id order. The HUGEINT product is congruent mod 256 to
+        # the engine's uint64-wrapped Knuth hash (256 | 2^64).
+        "pack_sequences": r"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(
+                         trim(regexp_replace(text, '\s+', ' ', 'g')), ' '))
+           END AS n_tokens,
+           CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 256 AS INTEGER)
+               AS part
+    FROM documents
+),
+ordered AS (
+    SELECT doc_id, n_tokens, part,
+           row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+    FROM toks
+),
+packed AS (
+    SELECT part, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS seq,
+           CAST(0 AS BIGINT) AS seq_offset,
+           CAST(n_tokens AS BIGINT) AS fill_after
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.part, o.rn, o.doc_id, o.n_tokens,
+           CASE WHEN p.fill_after > 0 AND p.fill_after + o.n_tokens > 512
+                THEN p.seq + 1 ELSE p.seq END,
+           CASE WHEN p.fill_after > 0 AND p.fill_after + o.n_tokens > 512
+                THEN CAST(0 AS BIGINT) ELSE p.fill_after END,
+           CASE WHEN p.fill_after > 0 AND p.fill_after + o.n_tokens > 512
+                THEN CAST(o.n_tokens AS BIGINT)
+                ELSE p.fill_after + o.n_tokens END
+    FROM packed p JOIN ordered o ON o.part = p.part AND o.rn = p.rn + 1
+)
+SELECT doc_id, part,
+       CAST(part AS BIGINT) * 4294967296 + seq AS seq_id,
+       seq_offset, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM packed
 """,
     }

@@ -787,14 +787,41 @@ def minhash_dedup(sf_dir: str, threshold: float = 0.8,
 # ---------------------------------------------------------------------------
 
 
+def _word_hash_md5(w: str) -> int:
+    """md5-prefix word hash for SimHash — md5 (not blake2b) so a SQL
+    oracle can recompute the signature bit-for-bit (DuckDB:
+    ``CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT)``). MinHash
+    shingling keeps blake2b (:func:`_word_hash`); the two hash spaces
+    are independent by design, so per-stage caches never mix."""
+    return int.from_bytes(
+        hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+    )
+
+
+def _word_hash_array_md5(words: list[str], cache: dict | None = None) -> np.ndarray:
+    out = np.empty(len(words), dtype=np.uint64)
+    if cache is None:
+        for i, w in enumerate(words):
+            out[i] = _word_hash_md5(w)
+        return out
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = _word_hash_md5(w)
+            cache[w] = h
+        out[i] = h
+    return out
+
+
 def simhash64(text: str, cache: dict | None = None) -> int:
-    """64-bit SimHash over word unigrams (blake2b word hashes).
+    """64-bit SimHash over word unigrams (md5-prefix word hashes —
+    SQL-reproducible, see :func:`_word_hash_md5`).
     Vectorized: word hashes → (n_words, 64) ±1 bit matrix → column
     sums → majority bits. Values identical to the per-word loop."""
     words = text.split()
     if not words:
         return 0
-    wh = _word_hash_array(words, cache)
+    wh = _word_hash_array_md5(words, cache)
     bits = (
         (wh[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
     ).astype(np.int32)
