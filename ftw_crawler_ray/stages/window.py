@@ -9,44 +9,142 @@ float-add association order.
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
-from .util import sized_read_parquet
-from ray.data.aggregate import Count, Sum
+from .util import part_space, partitioned_groups, sized_read_parquet
+
+
+def _keyed_window_agg(exploded: ray.data.Dataset, time_col: str,
+                      num_parts: int = 64) -> ray.data.Dataset:
+    """(window_time, event_type, value) rows → per-key count + 2dp
+    sum, lowered onto the fixed-partition numpy shape.
+
+    NOT ``groupby([time, type]).aggregate(Count, Sum)``: Ray's
+    aggregate pays Python time per DISTINCT key, and windowed keys =
+    windows × types is unbounded on long event histories (measured
+    155.8 s at 1.18M distinct keys / 5M rows; this shape: see
+    BASELINE.md). Per batch: dictionary-encode event_type (per-batch
+    distinct types are few), 64-bit-hash each dictionary value once,
+    lexsort (time, type_hash) + reduceat pre-combine; then one fixed
+    ``num_parts`` shuffle of (key, partial) rows and the same C-speed
+    reduce per partition. The type STRING rides along only as the
+    group representative. Float sums combine partial-then-total —
+    the same reassociation class as a native shuffle aggregate;
+    results round at 2dp like before."""
+    mid = pa.schema(
+        [("t", pa.int64()), ("tid", pa.int64()), ("event_type", pa.string()),
+         ("n", pa.int64()), ("s", pa.float64()), ("__part", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [(time_col, pa.timestamp("us")), ("event_type", pa.string()),
+         ("n_events", pa.int64()), ("sum_value", pa.float64())]
+    )
+
+    def _type_hashes(col: pa.ChunkedArray | pa.Array):
+        """int64 hash per row via dictionary encode: one blake2b per
+        DISTINCT type value, numpy take for the rows."""
+        enc = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+               else col).dictionary_encode()
+        vals = enc.dictionary.to_pylist()
+        hmap = np.array(
+            [int.from_bytes(
+                hashlib.blake2b(v.encode("utf-8"), digest_size=8).digest(),
+                "big") - (1 << 63)
+             for v in vals], dtype=np.int64,
+        )
+        idx = enc.indices.to_numpy()
+        return hmap[idx], vals, idx
+
+    def _reduce(t, tid, n, s):
+        order = np.lexsort((tid, t))
+        t, tid, n, s = t[order], tid[order], n[order], s[order]
+        starts = np.nonzero(
+            np.r_[True, (np.diff(t) != 0) | (np.diff(tid) != 0)]
+        )[0]
+        return (order, starts, t[starts], tid[starts],
+                np.add.reduceat(n, starts), np.add.reduceat(s, starts))
+
+    def precombine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or time_col not in batch.column_names:
+            return mid.empty_table()
+        t = batch[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        tid, vals, idx = _type_hashes(batch["event_type"])
+        v = batch["value"].to_numpy().astype(np.float64)
+        order, starts, tk, tidk, nk, sk = _reduce(
+            t, tid, np.ones(len(t), np.int64), v
+        )
+        rep = [vals[i] for i in idx[order[starts]]]
+        part = (
+            ((tk.astype(np.uint64) * np.uint64(2654435761))
+             ^ tidk.astype(np.uint64))
+            % np.uint64(part_space(num_parts))
+        ).astype(np.int32)
+        return pa.table(
+            {"t": pa.array(tk, pa.int64()), "tid": pa.array(tidk, pa.int64()),
+             "event_type": pa.array(rep, pa.string()),
+             "n": pa.array(nk, pa.int64()), "s": pa.array(sk, pa.float64()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid,
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "t" not in group.column_names:
+            return out_schema.empty_table()
+        t = group["t"].to_numpy()
+        tid = group["tid"].to_numpy()
+        n = group["n"].to_numpy()
+        s = group["s"].to_numpy()
+        order, starts, tk, _, nk, sk = _reduce(t, tid, n, s)
+        rep = group["event_type"].take(pa.array(order[starts], pa.int64()))
+        return pa.table(
+            {time_col: pa.array(tk.astype("datetime64[us]"),
+                                pa.timestamp("us")),
+             "event_type": rep.combine_chunks().cast(pa.string()),
+             "n_events": pa.array(nk, pa.int64()),
+             "sum_value": pa.array(np.round(sk, 2), pa.float64())},
+            schema=out_schema,
+        )
+
+    return partitioned_groups(
+        exploded.map_batches(precombine, batch_format="pyarrow",
+                             batch_size=None),
+        finalize, mid_schema=mid, num_parts=num_parts,
+    )
 
 
 def hourly_event_stats(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling hourly windows: derived window-key column + the
+    fixed-partition keyed aggregate (see :func:`_keyed_window_agg`)."""
     events = sized_read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
     def add_hour(batch: pa.Table) -> pa.Table:
         hours = batch["ts"].to_numpy().astype("datetime64[h]").astype("datetime64[us]")
-        return batch.append_column("hour", pa.array(hours, pa.timestamp("us")))
+        return pa.table(
+            {"hour": pa.array(hours, pa.timestamp("us")),
+             "event_type": batch["event_type"],
+             "value": batch["value"]}
+        )
 
-    agg = (
-        events.map_batches(add_hour, batch_format="pyarrow", batch_size=None)
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value_raw"))
+    return _keyed_window_agg(
+        events.map_batches(add_hour, batch_format="pyarrow",
+                           batch_size=None),
+        "hour",
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        rounded = pc.round(batch["sum_value_raw"], ndigits=2)
-        return batch.drop(["sum_value_raw"]).append_column("sum_value", rounded)
-
-    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def sliding_window_counts(sf_dir: str, size_minutes: int = 60,
                           step_minutes: int = 30) -> ray.data.Dataset:
-    """Sliding event-time windows: each event lands in
-    ``size/step`` overlapping windows; implemented as a vectorized
-    explode (event → window_start keys) + grouped aggregate — the
-    standard windowed-aggregate lowering when the engine has no
-    native window operator."""
+    """Sliding event-time windows: each event lands in ``size/step``
+    overlapping windows; a vectorized explode (event → window_start
+    keys) + the fixed-partition keyed aggregate — the standard
+    windowed-aggregate lowering when the engine has no native window
+    operator."""
     events = sized_read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
@@ -73,18 +171,11 @@ def sliding_window_counts(sf_dir: str, size_minutes: int = 60,
             )
         return pa.concat_tables(tables)
 
-    agg = (
-        events.map_batches(explode, batch_format="pyarrow", batch_size=None)
-        .groupby(["window_start", "event_type"])
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value", alias_name="sum_value_raw"))
+    return _keyed_window_agg(
+        events.map_batches(explode, batch_format="pyarrow",
+                           batch_size=None),
+        "window_start",
     )
-
-    def finish(batch: pa.Table) -> pa.Table:
-        rounded = pc.round(batch["sum_value_raw"], ndigits=2)
-        return batch.drop(["sum_value_raw"]).append_column("sum_value", rounded)
-
-    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def sessionize(sf_dir: str, gap_minutes: int = 30,
