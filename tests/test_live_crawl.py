@@ -208,6 +208,98 @@ class TestLiveCrawl:
         assert max_offset >= 1.0 * 5
         assert took >= max_offset
 
+    def test_skewed_hosts_hot_ceiling_vs_small_full_speed(self, ray_session,
+                                                          tmp_path):
+        """Skew stress (SURVEY §4.1 per-host-ceiling claim): ONE hot
+        host (8 urls, sleeptime=1.0 → politeness ceiling ≈ 7 s) plus
+        four small hosts (3 urls each, sleeptime=0.05). Under
+        pace=True the hot host's ceiling must be HONORED (its last
+        fetch lands ≥ its planned offset after its first) while the
+        small hosts complete at full speed near the pace epoch —
+        never serialized behind the hot host's sleeps."""
+        import time as _time
+
+        servers, sites, req_times = [], [], {}
+        # distinct POLITENESS hosts need distinct loopback IPs —
+        # host_of strips ports (the politeness unit is the host)
+        next_ip = iter(f"127.0.1.{i}" for i in range(1, 20))
+
+        def _start_host(paths, sleeptime):
+            times: list[tuple[str, float]] = []
+
+            class H(BaseHTTPRequestHandler):
+                base = ""
+
+                def log_message(self, *a):
+                    pass
+
+                def _ok(self, body, ctype="text/html; charset=utf-8"):
+                    self.send_response(200)
+                    self.send_header("Content-Type", ctype)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+                def do_HEAD(self):
+                    self.send_response(200)
+                    self.end_headers()
+
+                def do_GET(self):
+                    if self.path == "/robots.txt":
+                        self._ok(b"User-agent: *\n", "text/plain")
+                    elif self.path == "/sitemap.xml":
+                        urls = "".join(
+                            f"<url><loc>{H.base}{p}</loc></url>"
+                            for p in paths
+                        )
+                        self._ok(f"<urlset {NS}>{urls}</urlset>".encode(),
+                                 "text/xml")
+                    elif self.path in paths:
+                        times.append((self.path, _time.monotonic()))
+                        self._ok(_page("T" + self.path, "body " + self.path))
+                    else:
+                        self.send_response(404)
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+
+            ip = next(next_ip)
+            httpd = ThreadingHTTPServer((ip, 0), H)
+            H.base = f"http://{ip}:{httpd.server_address[1]}"
+            threading.Thread(target=httpd.serve_forever, daemon=True).start()
+            servers.append(httpd)
+            sites.append(Site(H.base + "/", sleeptime=sleeptime))
+            req_times[H.base] = times
+            return H.base
+
+        try:
+            hot = _start_host([f"/h{i}" for i in range(8)], sleeptime=1.0)
+            smalls = [
+                _start_host([f"/s{i}" for i in range(3)], sleeptime=0.05)
+                for _ in range(4)
+            ]
+            s = crawl_live(sites, str(tmp_path / "skew"), num_shards=4,
+                           pace=True)
+            assert s["fetch_counts"]["fetched"] == 8 + 4 * 3
+
+            hot_t = [t for _, t in req_times[hot]]
+            small_t = [t for b in smalls for _, t in req_times[b]]
+            assert len(hot_t) == 8 and len(small_t) == 12
+            hot_first, hot_last = min(hot_t), max(hot_t)
+            # ceiling honored: 8 urls at 1.0 s spacing plan offsets
+            # 0..7; absolute pacing means the last fetch cannot land
+            # sooner than ~7 s after the first (margin for clock skew)
+            assert hot_last - hot_first >= 5.5, (hot_first, hot_last)
+            # small hosts at full speed: their offsets are ≤ 0.15, so
+            # every small fetch lands near the pace epoch (≈ the hot
+            # host's FIRST fetch at offset 0) — far before the hot
+            # ceiling, proving no serialization behind the hot queue
+            assert max(small_t) <= hot_first + 2.5, (
+                max(small_t) - hot_first
+            )
+        finally:
+            for httpd in servers:
+                httpd.shutdown()
+
     def test_console_script_single_url(self, site_server, tmp_path):
         """The ``crawl config.py [url]`` console script (reference
         setup.py:55-58 parity): runs in its own process (own Ray
