@@ -4,10 +4,12 @@ Headline: the full crawl pipeline (frontier ∪ index_state →
 one shard shuffle with J1/is_modified/URL-seen/robots/politeness →
 fetch actor pool → 20-field extraction) over the synthetic corpus
 amplified ``GRAFT_REPLICATE``× (default 150 → ~750k pages at sf0.1).
-Shard count is fixed (64) across parallelism levels — partitioning
-is a data-layout choice, not a cluster-size function (64 over the
-41-host corpus keeps the largest shard to ~2 hosts; the 32-shard
-layout's 3-host shard was a ~2.8 s scheduling straggler).
+Shard count is fixed (128) across parallelism levels — partitioning
+is a data-layout choice, not a cluster-size function (128 over the
+41-host corpus gives ~1 host per shard; the 64-shard layout's 2-3
+host shards were a ~2 s scheduling straggler — schedule_group max
+2.04 s vs 404 ms mean in the r4 profile; A/B 64 vs 128 at 32 cpus:
+10.9/12.4 -> 8.9/10.3 s).
 
 Env:
     GRAFT_SF_DIR        input dir (default /root/testdata/sf0.1)
@@ -111,7 +113,7 @@ def _run_bench() -> dict:
     # untimed warmup: page cache + worker pool + one tiny end-to-end
     # crawl so imports / shuffle infra don't pollute the first timing
     ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
-    _w = scheduled_frontier(sf_dir, num_shards=64, replicate=1)
+    _w = scheduled_frontier(sf_dir, num_shards=128, replicate=1)
     fetch_pool(_w, sf_dir).count()
 
     queries: dict[str, float] = {}
@@ -135,14 +137,14 @@ def _run_bench() -> dict:
     timed(
         "schedule",
         lambda: scheduled_frontier(
-            sf_dir, num_shards=64, replicate=replicate
+            sf_dir, num_shards=128, replicate=replicate
         ).count(),
     )
 
     # headline — full crawl: schedule → fetch join → extract
     def full_crawl():
         sched = scheduled_frontier(
-            sf_dir, num_shards=64, replicate=replicate
+            sf_dir, num_shards=128, replicate=replicate
         )
         fetched = fetch_pool(sched, sf_dir)
         engine = ExtractionEngine(

@@ -522,7 +522,7 @@ class FetchActor:
 
 
 def fetch_pool(scheduled: ray.data.Dataset, sf_dir: str,
-               concurrency=(1, 64), batch_size: int = 2048,
+               concurrency=None, batch_size: int = 2048,
                num_cpus: float = 0.5) -> ray.data.Dataset:
     """Plan → FetchActor pool → resource rows (no shuffle).
 
@@ -533,7 +533,19 @@ def fetch_pool(scheduled: ray.data.Dataset, sf_dir: str,
     chain inherits the scheduler's per-shard granularity (≤ occupied
     shards ≈ 25 coarse, 5x-skewed tasks on the 41-host corpus), and
     the fetch/extract stages can no longer fan out past it
-    (measured: unfusing is ~2.5 s on the 1.66M-page bench crawl)."""
+    (measured: unfusing is ~2.5 s on the 1.66M-page bench crawl).
+
+    Default ``concurrency``: ``(max(1, cluster_cpus // 8), 64)`` —
+    the MIN actors spin up when the streaming plan starts, i.e. the
+    pool warms DURING the schedule shuffle instead of autoscaling
+    from one actor when the first plan block lands (A/B at 32 cpus:
+    min 4 vs 1 saves ~2 s of ramp on the 1.66M-page crawl). The min
+    must scale with the cluster: a fixed min reserves
+    ``min × num_cpus`` CPUs, and at 8 cpus a min of 12 starves the
+    schedule shuffle outright (measured 57-64 s vs 25-38 s)."""
+    if concurrency is None:
+        cpus = ray.cluster_resources().get("CPU", 8) if ray.is_initialized() else 8
+        concurrency = (max(1, int(cpus) // 8), 64)
 
     def scheduled_only(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "status" not in batch.column_names:
