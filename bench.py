@@ -208,15 +208,17 @@ def _run_scaling() -> dict:
         # caller pinned a replicate factor explicitly
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_QUERIES="crawl", GRAFT_CRAWL_RUNS="1")
-        # scaling runs use a 3x workload (same input at BOTH levels):
-        # at replicate=150 the 32-cpu crawl finishes in ~11 s, of
-        # which ~7 s is fixed stage/actor/shuffle startup that no
-        # cluster size can parallelize — the ratio then measures
-        # overhead, not scaling. 450 pushes runtimes to ~18/50 s so
-        # the measured quantity is the streaming throughput itself.
+        # scaling runs use a 6x workload (same input at BOTH levels):
+        # at replicate=150 the 32-cpu crawl finishes in ~8 s, of
+        # which several seconds are fixed stage/actor/shuffle startup
+        # that no cluster size can parallelize — the ratio then
+        # measures overhead, not scaling. 900 (3.32M pages) pushes
+        # runtimes to ~16/60 s so the measured quantity is the
+        # steady-state streaming throughput itself (r4 series at 900:
+        # raw 0.89/0.90/0.96 vs 0.63-0.73 at 450 same windows).
         env["GRAFT_REPLICATE"] = os.environ.get(
             "GRAFT_SCALING_REPLICATE",
-            os.environ.get("GRAFT_REPLICATE", "450"),
+            os.environ.get("GRAFT_REPLICATE", "900"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -288,14 +288,17 @@ def schedule_datasets(
             sitemap_urls_lower = set(
                 pc.utf8_lower(frontier_rows["url"].combine_chunks()).to_pylist()
             )
-        # J1 lookup inside the shard: url → last_indexed
-        lookup = dict(
-            zip(index_rows["url"].to_pylist(),
-                index_rows["last_modified"].to_pylist())
+        # J1 lookup inside the shard: url → last_indexed, vectorized
+        # (pc.index_in + take: a null index yields a null slot).
+        # index_state urls are unique per corpus contract, so
+        # first-match == any-match.
+        idx = pc.index_in(
+            frontier_rows["url"].combine_chunks(),
+            value_set=index_rows["url"].combine_chunks(),
         )
-        last_indexed = pa.array(
-            [lookup.get(u) for u in frontier_rows["url"].to_pylist()],
-            pa.timestamp("us"),
+        last_indexed = (
+            index_rows["last_modified"].combine_chunks()
+            .take(idx).cast(pa.timestamp("us"))
         )
         frontier_rows = frontier_rows.drop(
             ["kind", "last_modified"]
