@@ -537,3 +537,46 @@ class TestBoilerplateRemoval:
              .to_pandas().sort_values("doc_id").reset_index(drop=True))
         pd.testing.assert_frame_equal(a, b)
         assert a["n_removed"].sum() > 0  # the corpus really has boilerplate
+
+
+class TestAttachColumn:
+    """Direct unit coverage of the fixed-partition lookup join —
+    inner vs left semantics, list payloads, unmatched keys."""
+
+    @staticmethod
+    def _join(how):
+        import pyarrow as pa
+        import ray.data
+
+        from ftw_crawler_ray.stages.util import attach_column
+
+        items = ray.data.from_arrow(pa.table(
+            {"k": pa.array([1, 2, 3, 4], pa.int64()),
+             "name": pa.array(["a", "b", "c", "d"], pa.string())}
+        ))
+        lookup = ray.data.from_arrow(pa.table(
+            {"k": pa.array([2, 4, 9], pa.int64()),
+             "vals": pa.array([[20, 21], [40], [90]],
+                              pa.list_(pa.int32()))}
+        ))
+        rows = attach_column(
+            items, lookup, item_key="k", lookup_key="k",
+            payload_col="vals", out_col="vals",
+            item_schema=pa.schema([("k", pa.int64()),
+                                   ("name", pa.string())]),
+            payload_type=pa.list_(pa.int32()), num_parts=4, how=how,
+        ).take_all()  # take_all: Ray's to_pandas TensorArray cast
+        # rejects list columns mixing nulls and arrays
+        return sorted(rows, key=lambda r: r["k"])
+
+    def test_inner_drops_unmatched(self, ray_session):
+        out = self._join("inner")
+        assert [r["k"] for r in out] == [2, 4]
+        assert [list(r["vals"]) for r in out] == [[20, 21], [40]]
+
+    def test_left_keeps_unmatched_with_null_payload(self, ray_session):
+        out = self._join("left")
+        assert [r["k"] for r in out] == [1, 2, 3, 4]
+        assert [r["name"] for r in out] == ["a", "b", "c", "d"]
+        vals = [None if r["vals"] is None else list(r["vals"]) for r in out]
+        assert vals == [None, [20, 21], None, [40]]
