@@ -100,12 +100,17 @@ def _keyed_window_agg(exploded: ray.data.Dataset, time_col: str,
         s = group["s"].to_numpy()
         order, starts, tk, _, nk, sk = _reduce(t, tid, n, s)
         rep = group["event_type"].take(pa.array(order[starts], pa.int64()))
+        import pyarrow.compute as pc
+
+        # pc.round, not np.round: keeps the exact rounding mode the
+        # pre-lowering implementation used (oracle boundary parity)
+        rounded = pc.round(pa.array(sk, pa.float64()), ndigits=2)
         return pa.table(
             {time_col: pa.array(tk.astype("datetime64[us]"),
                                 pa.timestamp("us")),
              "event_type": rep.combine_chunks().cast(pa.string()),
              "n_events": pa.array(nk, pa.int64()),
-             "sum_value": pa.array(np.round(sk, 2), pa.float64())},
+             "sum_value": rounded},
             schema=out_schema,
         )
 
