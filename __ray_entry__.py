@@ -614,9 +614,12 @@ SELECT doc_id,
 FROM documents
 """,
         "window_events": """
+-- cents-exact sum: each value rounds to cents FIRST (identical
+-- float op in engine and SQL), the sum is integer-exact, so the
+-- result is independent of addition order on both engines
 SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """,
         "topk_per_source": """
@@ -644,7 +647,7 @@ WITH exploded AS (
     FROM events
 )
 SELECT window_start, event_type, count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
 FROM exploded GROUP BY 1, 2
 """,
         # crawl plan: per-host rank by (priority DESC, lastmod DESC

@@ -32,12 +32,19 @@ def _keyed_window_agg(exploded: ray.data.Dataset, time_col: str,
     lexsort (time, type_hash) + reduceat pre-combine; then one fixed
     ``num_parts`` shuffle of (key, partial) rows and the same C-speed
     reduce per partition. The type STRING rides along only as the
-    group representative. Float sums combine partial-then-total —
-    the same reassociation class as a native shuffle aggregate;
-    results round at 2dp like before."""
+    group representative.
+
+    Sum contract: each value rounds to CENTS first
+    (``floor(v*100 + 0.5)`` — the identical float op the SQL oracle
+    runs), and the sum is integer-exact, so the result is independent
+    of addition order. A float partial-sum-then-round contract is
+    inherently flaky across engines: both sides associate adds
+    differently and the 2dp rounding flips whenever a true sum sits
+    within ulps of a .005 boundary (observed once at sf0.01 across
+    6761 windows)."""
     mid = pa.schema(
         [("t", pa.int64()), ("tid", pa.int64()), ("event_type", pa.string()),
-         ("n", pa.int64()), ("s", pa.float64()), ("__part", pa.int32())]
+         ("n", pa.int64()), ("s", pa.int64()), ("__part", pa.int32())]
     )
     out_schema = pa.schema(
         [(time_col, pa.timestamp("us")), ("event_type", pa.string()),
@@ -73,7 +80,9 @@ def _keyed_window_agg(exploded: ray.data.Dataset, time_col: str,
             return mid.empty_table()
         t = batch[time_col].to_numpy().astype("datetime64[us]").astype(np.int64)
         tid, vals, idx = _type_hashes(batch["event_type"])
-        v = batch["value"].to_numpy().astype(np.float64)
+        v = np.floor(
+            batch["value"].to_numpy().astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
         order, starts, tk, tidk, nk, sk = _reduce(
             t, tid, np.ones(len(t), np.int64), v
         )
@@ -86,7 +95,7 @@ def _keyed_window_agg(exploded: ray.data.Dataset, time_col: str,
         return pa.table(
             {"t": pa.array(tk, pa.int64()), "tid": pa.array(tidk, pa.int64()),
              "event_type": pa.array(rep, pa.string()),
-             "n": pa.array(nk, pa.int64()), "s": pa.array(sk, pa.float64()),
+             "n": pa.array(nk, pa.int64()), "s": pa.array(sk, pa.int64()),
              "__part": pa.array(part, pa.int32())},
             schema=mid,
         )
@@ -100,17 +109,14 @@ def _keyed_window_agg(exploded: ray.data.Dataset, time_col: str,
         s = group["s"].to_numpy()
         order, starts, tk, _, nk, sk = _reduce(t, tid, n, s)
         rep = group["event_type"].take(pa.array(order[starts], pa.int64()))
-        import pyarrow.compute as pc
-
-        # pc.round, not np.round: keeps the exact rounding mode the
-        # pre-lowering implementation used (oracle boundary parity)
-        rounded = pc.round(pa.array(sk, pa.float64()), ndigits=2)
         return pa.table(
             {time_col: pa.array(tk.astype("datetime64[us]"),
                                 pa.timestamp("us")),
              "event_type": rep.combine_chunks().cast(pa.string()),
              "n_events": pa.array(nk, pa.int64()),
-             "sum_value": rounded},
+             # integer cents / 100: exact, order-independent
+             "sum_value": pa.array(sk.astype(np.float64) / 100.0,
+                                   pa.float64())},
             schema=out_schema,
         )
 
