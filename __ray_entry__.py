@@ -1143,4 +1143,86 @@ SELECT doc_id, part,
        seq_offset, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM packed
 """,
+        # Winnowing fingerprint recomputed bit-for-bit: md5-prefix
+        # uint64 per word 3-gram string (engine:
+        # textstats._gram_hashes_md5; empty text → sentinel hash 0),
+        # min per 8-consecutive-shingle window (the engine pads the
+        # tail window with uint64-max, which never wins a min — SQL
+        # just mins over what's there), final digest = md5 over the
+        # minima as lowercase 16-hex-digit words in window order.
+        "fingerprints": r"""
+WITH fw AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(
+                    trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+           END AS ws
+    FROM documents
+),
+fg AS (
+    SELECT doc_id, len(ws) AS n,
+           unnest(generate_series(
+               1, greatest(len(ws) - least(3, len(ws)) + 1, 1))) AS i,
+           ws
+    FROM fw WHERE len(ws) > 0
+),
+fh AS (
+    SELECT doc_id, i,
+           CAST(concat('0x', substr(md5(
+               array_to_string(ws[i:i + least(3, n) - 1], ' ')), 1, 16))
+               AS UBIGINT) AS g
+    FROM fg
+),
+allh AS (
+    SELECT doc_id, i, g FROM fh
+    UNION ALL
+    SELECT doc_id, 1 AS i, CAST(0 AS UBIGINT) AS g
+    FROM fw WHERE len(ws) = 0
+),
+wmins AS (
+    SELECT doc_id, (i - 1) // 8 AS w, min(g) AS mn
+    FROM allh GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(concat('0x', substr(md5(
+           string_agg(lower(lpad(to_hex(mn), 16, '0')), '' ORDER BY w)
+       ), 1, 16)) AS UBIGINT) AS fingerprint
+FROM wmins GROUP BY doc_id
+""",
+        # HyperLogLog estimate recomputed exactly, not bounds-checked:
+        # md5-prefix item hash (engine: sketches.HyperLogLog.add over
+        # str(user_id)), register = top-12 hash bits, rank = 53 −
+        # bit_length of the low 52 bits (bin()/ltrim is EXACT — a
+        # float log2 misrounds within ulps of 2^52). Registers never
+        # seen stay 0, so Σ2^-rank gains (4096 − cnt)·2⁰ and the
+        # linear-counting zeros term is 4096 − cnt. The merge order
+        # the engine uses is irrelevant: max() is the register
+        # combiner, so registers — and the estimate — are
+        # order-independent.
+        "approx_users": r"""
+WITH uh AS (
+    SELECT event_type,
+           CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 16))
+               AS UBIGINT) AS h
+    FROM events
+),
+regs AS (
+    SELECT event_type, h >> 52 AS idx,
+           max(53 - length(ltrim(bin(h & ((CAST(1 AS UBIGINT) << 52) - 1)),
+                                 '0'))) AS rank
+    FROM uh GROUP BY 1, 2
+),
+est AS (
+    SELECT event_type,
+           count(*) AS cnt,
+           (0.7213 / (1 + 1.079 / 4096)) * 4096.0 * 4096.0
+               / ((4096 - count(*)) + sum(pow(2.0, -rank))) AS raw
+    FROM regs GROUP BY 1
+)
+SELECT event_type,
+       CAST(round(CASE WHEN raw <= 2.5 * 4096 AND cnt < 4096
+                       THEN 4096.0 * ln(4096.0 / (4096 - cnt))
+                       ELSE raw END) AS BIGINT) AS approx_users
+FROM est
+""",
     }

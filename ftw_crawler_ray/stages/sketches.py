@@ -4,8 +4,12 @@ batch, merged in a tiny second stage; nothing shuffles raw rows).
 
 HyperLogLog (Flajolet et al. 2007, public algorithm): 2^p byte
 registers, standard bias-corrected estimator with linear counting
-for the low range. Deterministic (blake2b item hashes) so repeated
-runs agree bit-for-bit.
+for the low range. Deterministic — and the item hash is an md5
+64-bit prefix specifically so a SQL oracle can recompute the
+registers bit-for-bit (DuckDB: ``CAST('0x' || substr(md5(x), 1, 16)
+AS UBIGINT)``; see the ``approx_users`` oracle in __ray_entry__.py)
+— so repeated runs agree exactly and the estimate is value-checkable,
+not just bounds-checkable.
 """
 
 from __future__ import annotations
@@ -34,8 +38,9 @@ class HyperLogLog:
             self.alpha = 0.7213 / (1 + 1.079 / self.m)
 
     def add(self, item: str) -> None:
+        # md5 prefix, not blake2b: SQL-reproducible (module docstring)
         h = int.from_bytes(
-            hashlib.blake2b(item.encode("utf-8"), digest_size=8).digest(), "big"
+            hashlib.md5(item.encode("utf-8")).digest()[:8], "big"
         )
         idx = h >> (64 - self.p)
         rest = h & ((1 << (64 - self.p)) - 1)

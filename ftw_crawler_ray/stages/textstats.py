@@ -180,26 +180,52 @@ def source_mix(sf_dir: str, weights: dict[str, int] | None = None) -> ray.data.D
     return docs.map_batches(mix, batch_format="pyarrow", batch_size=None)
 
 
+def _gram_hashes_md5(text: str, k: int, cache: dict) -> np.ndarray:
+    """One md5-prefix uint64 per word k-gram STRING (position order).
+    Empty/whitespace-only text → the single sentinel hash 0. Unlike
+    dedup.shingles' rolling combine this hashes the gram string
+    directly — md5 so a SQL oracle recomputes it bit-for-bit; the
+    per-actor cache is keyed by gram string (grams repeat heavily in
+    web text, same memo win as the word-hash cache)."""
+    words = text.split()
+    if not words:
+        return np.array([0], dtype=np.uint64)
+    kk = min(k, len(words))
+    out = np.empty(len(words) - kk + 1, dtype=np.uint64)
+    for i in range(len(out)):
+        g = " ".join(words[i:i + kk])
+        h = cache.get(g)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8],
+                               "big")
+            cache[g] = h
+        out[i] = h
+    return out
+
+
 class Fingerprinter:
     """Winnowing-style document fingerprint: min hash per
     ``window``-sized block of word 3-gram hashes, digested to one
     64-bit id per doc (cheap near-dup pre-filter / lineage id).
-    Actor-pool stage: the gram hashes come from the shared cached
-    word-hash + vectorized rolling combine (stages/dedup.shingles),
-    and the per-block minima reduce in numpy — no per-gram blake2b."""
+    Actor-pool stage with a per-actor gram-hash memo. Every hash in
+    the chain is an md5 64-bit prefix over strings (gram hashes via
+    :func:`_gram_hashes_md5`; final digest = md5 over the block
+    minima rendered as lowercase 16-hex-digit words), so a SQL
+    oracle recomputes the fingerprint bit-for-bit (the
+    ``fingerprints`` oracle in __ray_entry__.py)."""
 
     def __init__(self, window: int = 8):
         self.window = window
         self.cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .dedup import MinHasher, shingles
+        from .dedup import MinHasher
 
         if len(self.cache) > MinHasher._CACHE_LIMIT:
             self.cache.clear()
         out = np.empty(batch.num_rows, dtype=np.uint64)
         for i, t in enumerate(batch["text"].to_pylist()):
-            hashes = shingles(t, 3, self.cache)
+            hashes = _gram_hashes_md5(t, 3, self.cache)
             n = len(hashes)
             pad = (-n) % self.window
             if pad:
@@ -207,10 +233,10 @@ class Fingerprinter:
                     [hashes, np.full(pad, np.iinfo(np.uint64).max, np.uint64)]
                 )
             mins = hashes.reshape(-1, self.window).min(axis=1)
+            hexcat = "".join(f"{m:016x}" for m in mins.tolist())
             out[i] = np.uint64(
                 int.from_bytes(
-                    hashlib.blake2b(mins.tobytes(), digest_size=8).digest(),
-                    "big",
+                    hashlib.md5(hexcat.encode("ascii")).digest()[:8], "big"
                 )
             )
         return pa.table(
