@@ -380,12 +380,17 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_pack_sequences(sf_dir: str):
-    # greedy fixed-token-window packing; rows-only by nature (the
-    # greedy reset is a recursive running total, not SQL-window
-    # expressible) — invariants pinned in tests/test_stages.py
     from ftw_crawler_ray.stages.textstats import pack_sequences
 
     return pack_sequences(sf_dir)
+
+
+def _q_corpus_prep(sf_dir: str):
+    # quality gate → dedup_clusters over survivors → pack_sequences:
+    # the end-to-end pretraining corpus-prep composition
+    from ftw_crawler_ray.pipelines.recipe import corpus_prep
+
+    return corpus_prep(sf_dir)
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -525,6 +530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "fingerprints": _q_fingerprints,
         "pack_sequences": _q_pack_sequences,
+        "corpus_prep": _q_corpus_prep,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1224,5 +1230,108 @@ SELECT event_type,
                        THEN 4096.0 * ln(4096.0 / (4096 - cnt))
                        ELSE raw END) AS BIGINT) AS approx_users
 FROM est
+""",
+        # the end-to-end corpus-prep composition: each stage is the
+        # SAME formula as its standalone oracle — quality_scores'
+        # integer gates, dedup_clusters' exact ∪ Jaccard-verified
+        # components (restricted to quality survivors), and
+        # pack_sequences' recursive running-fill CTE (restricted to
+        # cluster representatives)
+        "corpus_prep": r"""
+WITH RECURSIVE qd AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(
+                    trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')
+           END AS ws
+    FROM documents
+),
+fdocs AS (
+    SELECT doc_id, text, len(ws) AS n_tokens
+    FROM qd
+    WHERE len(ws) >= 25
+      AND len(list_distinct(ws)) * 1000 // len(ws) >= 400
+),
+md5g AS (SELECT doc_id, md5(text) AS h FROM fdocs),
+ek AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper FROM md5g),
+exact_edges AS (
+    SELECT keeper AS doc_a, doc_id AS doc_b FROM ek WHERE doc_id <> keeper
+),
+keeperset AS (SELECT DISTINCT keeper AS doc_id FROM ek),
+words AS (
+    SELECT d.doc_id,
+           list_filter(regexp_split_to_array(d.text, '\s+'), w -> w <> '') AS w
+    FROM fdocs d JOIN keeperset kk ON kk.doc_id = d.doc_id
+),
+grams AS (
+    SELECT doc_id,
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+           END AS gs
+    FROM words
+),
+sets AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams),
+sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+    FROM sets a JOIN sets b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+verified AS (
+    SELECT doc_a, doc_b FROM inter
+    JOIN sizes sa ON sa.doc_id = inter.doc_a
+    JOIN sizes sb ON sb.doc_id = inter.doc_b
+    WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.8
+),
+edges AS (
+    SELECT doc_a AS s, doc_b AS d FROM exact_edges
+    UNION ALL SELECT doc_b, doc_a FROM exact_edges
+    UNION ALL SELECT doc_a, doc_b FROM verified
+    UNION ALL SELECT doc_b, doc_a FROM verified
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+),
+clusters AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+survivors AS (
+    SELECT f.doc_id, f.n_tokens
+    FROM fdocs f LEFT JOIN clusters c USING (doc_id)
+    WHERE c.cluster_id IS NULL OR c.cluster_id = f.doc_id
+),
+toks AS (
+    SELECT doc_id, n_tokens,
+           CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 256 AS INTEGER)
+               AS part
+    FROM survivors
+),
+ordered AS (
+    SELECT doc_id, n_tokens, part,
+           row_number() OVER (PARTITION BY part ORDER BY doc_id) AS rn
+    FROM toks
+),
+packed AS (
+    SELECT part, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS seq,
+           CAST(0 AS BIGINT) AS seq_offset,
+           CAST(n_tokens AS BIGINT) AS fill_after
+    FROM ordered WHERE rn = 1
+    UNION ALL
+    SELECT o.part, o.rn, o.doc_id, o.n_tokens,
+           CASE WHEN p.fill_after > 0 AND p.fill_after + o.n_tokens > 512
+                THEN p.seq + 1 ELSE p.seq END,
+           CASE WHEN p.fill_after > 0 AND p.fill_after + o.n_tokens > 512
+                THEN CAST(0 AS BIGINT) ELSE p.fill_after END,
+           CASE WHEN p.fill_after > 0 AND p.fill_after + o.n_tokens > 512
+                THEN CAST(o.n_tokens AS BIGINT)
+                ELSE p.fill_after + o.n_tokens END
+    FROM packed p JOIN ordered o ON o.part = p.part AND o.rn = p.rn + 1
+)
+SELECT doc_id, part,
+       CAST(part AS BIGINT) * 4294967296 + seq AS seq_id,
+       seq_offset, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM packed
 """,
     }

@@ -94,3 +94,122 @@ def training_mix(
         RecipeFilter, batch_format="pyarrow", batch_size=None,
         concurrency=(1, 4),
     )
+
+
+def corpus_prep(
+    sf_dir: str,
+    min_tokens: int = 25,
+    min_distinct_x1000: int = 400,
+    threshold: float = 0.8,
+    window: int = 512,
+    scratch_dir: "str | None" = None,
+) -> ray.data.Dataset:
+    """END-TO-END pretraining corpus prep — the full composition a
+    100 TB pipeline actually runs, as ONE lazy plan:
+
+        documents ──► quality gate (token count + distinct-token
+                      ratio; the quality_scores integer formulas)
+                  ──► dedup_clusters over the SURVIVORS (exact-first
+                      + MinHash-verified near-dups; keep each
+                      cluster's representative = min doc_id)
+                  ──► pack_sequences (greedy fixed-token-window
+                      packing of what remains)
+
+    Scale shape: the quality gate is a stateless zero-shuffle
+    map; it re-executes per downstream consumer instead of
+    materializing (cheap recompute beats a corpus-sized pin). Text
+    flows ONLY into the dedup stage; the drop-list anti-join and the
+    packer move (doc_id, n_tokens) int rows, so the wide shuffles
+    after dedup are token-count-sized, not corpus-sized. The
+    anti-join is stages/util.attach_column ``how="left"`` with a
+    null-flag filter (the hash-join shape, not Dataset.join — see
+    CLAUDE.md).
+
+    Output: (doc_id, part, seq_id, seq_offset, n_tokens) — one row
+    per kept document, the training-batcher assignment. SQL oracle:
+    the ``corpus_prep`` entry in __ray_entry__.py chains the same
+    quality / cluster / pack formulas."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import dedup_clusters
+    from ..stages.textstats import pack_sequences
+    from ..stages.util import attach_column
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def _quality_mask(batch: pa.Table):
+        toks = [t.split() for t in batch["text"].to_pylist()]
+        keep = np.array(
+            [len(w) >= min_tokens
+             and len(set(w)) * 1000 // len(w) >= min_distinct_x1000
+             if w else False
+             for w in toks],
+            dtype=bool,
+        )
+        return keep, toks
+
+    def qfilter_text(batch: pa.Table) -> pa.Table:
+        keep, _ = _quality_mask(batch)
+        return batch.filter(pa.array(keep))
+
+    def qfilter_tokens(batch: pa.Table) -> pa.Table:
+        keep, toks = _quality_mask(batch)
+        n = pa.array(
+            [len(w) for w, k in zip(toks, keep) if k], pa.int64()
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"].filter(pa.array(keep)),
+             "n_tokens": n}
+        )
+
+    filtered_text = docs.map_batches(
+        qfilter_text, batch_format="pyarrow", batch_size=None
+    )
+    filtered_tokens = docs.map_batches(
+        qfilter_tokens, batch_format="pyarrow", batch_size=None
+    )
+
+    clusters = dedup_clusters(
+        sf_dir, threshold, scratch_dir=scratch_dir, docs=filtered_text
+    )
+
+    def drop_list(batch: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_id", pa.int64()), ("dup", pa.int8())]
+        ).empty_table()
+        if batch.num_rows == 0 or "cluster_id" not in batch.column_names:
+            return empty
+        dups = batch.filter(
+            pc.not_equal(batch["doc_id"], batch["cluster_id"])
+        )
+        return pa.table(
+            {"doc_id": dups["doc_id"],
+             "dup": pa.array(np.ones(dups.num_rows, np.int8), pa.int8())}
+        )
+
+    drops = clusters.map_batches(
+        drop_list, batch_format="pyarrow", batch_size=None
+    )
+
+    flagged = attach_column(
+        filtered_tokens, drops,
+        item_key="doc_id", lookup_key="doc_id",
+        payload_col="dup", out_col="dup",
+        item_schema=pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64())]
+        ),
+        payload_type=pa.int8(),
+        how="left",
+    )
+    survivors = flagged.map_batches(
+        lambda t: t.filter(pc.is_null(t["dup"])).drop(["dup"])
+        if t.num_rows and "dup" in t.column_names
+        else pa.schema([("doc_id", pa.int64()),
+                        ("n_tokens", pa.int64())]).empty_table(),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    return pack_sequences(sf_dir, window, docs=survivors)

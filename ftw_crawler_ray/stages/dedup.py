@@ -931,7 +931,8 @@ def simhash_near_dups(sf_dir: str, radius: int = 3,
 def dedup_clusters(sf_dir: str, threshold: float = 0.8,
                    n_perm: int = _N_PERM_DEFAULT, n_bands: int = 16,
                    k: int = 5, num_parts: int = 64,
-                   scratch_dir: "str | None" = None) -> ray.data.Dataset:
+                   scratch_dir: "str | None" = None,
+                   docs: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """PRODUCTION dedup composition: exact dedup FIRST (collapses
     m-way identical-text cliques to one keeper with m-1 edges instead
     of O(m²) candidate pairs), then MinHash near-dup over the per-hash
@@ -943,10 +944,17 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.8,
 
     Content key is the first 64 bits of md5(text) (collision odds
     ~n²/2⁻⁶⁵ — negligible below ~10⁸ distinct texts; widen to the
-    full digest via two int64 columns beyond that)."""
-    docs = sized_read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    full digest via two int64 columns beyond that).
+
+    ``docs`` overrides the default whole-table read with a caller
+    (doc_id, text) dataset — e.g. a quality-filtered subset
+    (pipelines/recipe.corpus_prep). It must be a STATELESS pipeline
+    (it is consumed more than once: content-key pass + keeper-text
+    attach)."""
+    if docs is None:
+        docs = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
 
     _mark_schema = pa.schema(
         [("key", pa.int64()), ("doc_id", pa.int64()), ("__part", pa.int32())]

@@ -732,7 +732,8 @@ def strip_repeated_ngrams(sf_dir: str, k: int = 5, min_docs: int = 5,
 
 
 def pack_sequences(sf_dir: str, window: int = 512,
-                   num_parts: int = 16) -> ray.data.Dataset:
+                   num_parts: int = 16,
+                   docs: "ray.data.Dataset | None" = None) -> ray.data.Dataset:
     """Greedy sequence packing — the canonical pretraining batcher:
     assign documents to fixed-token-budget training sequences,
     first-fit in deterministic order.
@@ -748,13 +749,20 @@ def pack_sequences(sf_dir: str, window: int = 512,
     of :func:`token_counts`.
 
     Output: (doc_id, part, seq_id, seq_offset, n_tokens) — one row
-    per document. No SQL oracle (greedy bin reset is a recursive
-    running total); invariants are pinned by
-    tests/test_stages.py::TestPackSequences against a pure-Python
-    reference packer."""
-    docs = sized_read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    )
+    per document. SQL-checked: the greedy running fill is a
+    recursive CTE threading doc_id order per packer partition (the
+    ``pack_sequences`` oracle in __ray_entry__.py); invariants are
+    additionally pinned by tests/test_stages.py::TestPackSequences
+    against a pure-Python reference packer.
+
+    ``docs`` overrides the default whole-table read with a caller
+    dataset carrying either (doc_id, text) or pre-tokenized
+    (doc_id, n_tokens) rows (pipelines/recipe.corpus_prep passes the
+    latter so document text never rides the packer shuffle)."""
+    if docs is None:
+        docs = sized_read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
     mid = pa.schema(
         [("doc_id", pa.int64()), ("n_tokens", pa.int64()),
          ("__part", pa.int32())]
@@ -766,13 +774,16 @@ def pack_sequences(sf_dir: str, window: int = 512,
     )
 
     def tag(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "text" not in batch.column_names:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
             return mid.empty_table()
         ids = batch["doc_id"].to_numpy().astype(np.int64)
-        n = np.array(
-            [len(t.split()) if t is not None else 0
-             for t in batch["text"].to_pylist()], np.int64
-        )
+        if "n_tokens" in batch.column_names:
+            n = batch["n_tokens"].to_numpy().astype(np.int64)
+        else:
+            n = np.array(
+                [len(t.split()) if t is not None else 0
+                 for t in batch["text"].to_pylist()], np.int64
+            )
         part = (
             (ids.astype(np.uint64) * np.uint64(2654435761))
             % np.uint64(part_space(num_parts))

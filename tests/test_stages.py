@@ -285,3 +285,51 @@ class TestPackSequences:
             total=("n_tokens", "sum"), count=("n_tokens", "count"))
         over = agg[agg["total"] > window]
         assert (over["count"] == 1).all()
+
+
+class TestCorpusPrep:
+    def test_composition_invariants(self, ray_session, tmp_path):
+        """quality gate → dedup → pack as one plan: every output doc
+        passes the gate, no near/exact-dup non-representative
+        survives, and the packer fit invariant holds."""
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.pipelines.recipe import corpus_prep
+        from ftw_crawler_ray.stages.dedup import dedup_clusters
+
+        sf = "/root/testdata/sf0.001"
+        got = corpus_prep(sf, scratch_dir=str(tmp_path)).to_pandas()
+
+        docs = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id", "text"]
+        ).to_pandas()
+        words = docs.set_index("doc_id")["text"].str.split()
+        gate = words.map(
+            lambda w: len(w) >= 25
+            and len(set(w)) * 1000 // len(w) >= 400 if w else False
+        )
+        passing = set(gate[gate].index)
+
+        assert not got["doc_id"].duplicated().any()
+        assert set(got["doc_id"]).issubset(passing)
+
+        # dup members (cluster_id != doc_id) among gate survivors are
+        # exactly the docs the gate passed but the output dropped
+        clusters = dedup_clusters(
+            sf,
+            docs=__import__("ray").data.from_pandas(
+                docs[docs.doc_id.isin(passing)]
+            ),
+            scratch_dir=str(tmp_path / "clu"),
+        ).to_pandas()
+        dropped = set(
+            clusters.loc[clusters.doc_id != clusters.cluster_id, "doc_id"]
+        )
+        assert set(got["doc_id"]) == passing - dropped
+
+        # fit invariant: each sequence ≤ window unless a single
+        # oversized doc
+        agg = got.groupby("seq_id").agg(
+            total=("n_tokens", "sum"), count=("n_tokens", "count"))
+        over = agg[agg["total"] > 512]
+        assert (over["count"] == 1).all()
