@@ -393,6 +393,12 @@ def _q_corpus_prep(sf_dir: str):
     return corpus_prep(sf_dir)
 
 
+def _q_global_shuffle(sf_dir: str):
+    from ftw_crawler_ray.pipelines.recipe import global_shuffle
+
+    return global_shuffle(sf_dir)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from ftw_crawler_ray.stages.dedup import minhash_candidate_pairs
 
@@ -531,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "pack_sequences": _q_pack_sequences,
         "corpus_prep": _q_corpus_prep,
+        "global_shuffle": _q_global_shuffle,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1333,5 +1340,20 @@ SELECT doc_id, part,
        CAST(part AS BIGINT) * 4294967296 + seq AS seq_id,
        seq_offset, CAST(n_tokens AS BIGINT) AS n_tokens
 FROM packed
+""",
+        # deterministic write-side shuffle: Knuth hash position,
+        # rank within shard — the reproducible, resume-safe
+        # alternative to a materializing random_shuffle
+        "global_shuffle": r"""
+WITH hpos AS (
+    SELECT doc_id,
+           CAST((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296
+               AS BIGINT) AS h
+    FROM documents
+)
+SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
+       row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
+           AS pos
+FROM hpos
 """,
     }

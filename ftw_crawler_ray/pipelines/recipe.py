@@ -213,3 +213,71 @@ def corpus_prep(
     )
 
     return pack_sequences(sf_dir, window, docs=survivors)
+
+
+def global_shuffle(sf_dir: str, n_shards: int = 16) -> ray.data.Dataset:
+    """Deterministic global shuffle — the write-side scatter a
+    training pipeline runs before sharding the corpus to disk.
+
+    ``ray.data.Dataset.random_shuffle`` is the wrong tool at 100 TB:
+    it is a full materializing all-to-all with non-reproducible
+    output (resume = reshuffle the world). This op instead assigns
+    every doc a HASH position: ``h = doc_id·2654435761 mod 2³²``
+    (the Knuth scatter used across this repo), ``shard = h mod
+    n_shards``, ``pos`` = rank of (h, doc_id) within the shard. One
+    fixed-partition int-row shuffle, independent of payload size;
+    deterministic, so a failed write can re-derive any shard alone
+    and the shard ↔ content mapping is stable across runs. Payload
+    columns re-attach by doc_id at write time (util.attach_column)
+    instead of riding the scatter.
+
+    Output: (doc_id, shard, pos). SQL oracle: the same hash +
+    ``row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)``."""
+    import numpy as np
+
+    from ..stages.util import partitioned_groups
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    mid = pa.schema(
+        [("doc_id", pa.int64()), ("h", pa.int64()), ("__part", pa.int32())]
+    )
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("shard", pa.int32()), ("pos", pa.int64())]
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return mid.empty_table()
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        part = (h % np.uint64(n_shards)).astype(np.int32)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "h": pa.array(h.astype(np.int64), pa.int64()),
+             "__part": pa.array(part, pa.int32())},
+            schema=mid,
+        )
+
+    def order(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "doc_id" not in group.column_names:
+            return out_schema.empty_table()
+        ids = group["doc_id"].to_numpy().astype(np.int64)
+        h = group["h"].to_numpy().astype(np.int64)
+        shard = np.int32(group["__part"][0].as_py())
+        o = np.lexsort((ids, h))
+        return pa.table(
+            {"doc_id": pa.array(ids[o], pa.int64()),
+             "shard": pa.array(
+                 np.full(len(ids), shard, np.int32), pa.int32()),
+             "pos": pa.array(np.arange(len(ids), dtype=np.int64),
+                             pa.int64())},
+            schema=out_schema,
+        )
+
+    return partitioned_groups(
+        docs.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        order, mid_schema=mid, num_parts=n_shards,
+    )
