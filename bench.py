@@ -184,6 +184,20 @@ def _run_bench() -> dict:
 
     timed("minhash_verified", _minhash)
 
+    def _corpus_prep():
+        import shutil
+        import tempfile
+
+        from ftw_crawler_ray.pipelines.recipe import corpus_prep
+
+        scratch = tempfile.mkdtemp(prefix="bench_corpus_prep_")
+        try:
+            return corpus_prep(sf_dir, scratch_dir=scratch).count()
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+
+    timed("corpus_prep", _corpus_prep)
+
     headline = queries["crawl"]
     result = {
         "metric": "crawl_e2e_seconds",
