@@ -6,6 +6,7 @@ the stages whose scale shape the round-3 verdict flagged:
     python tools/stress_scale.py sessionize   # 1e6 users, rows-linear check
     python tools/stress_scale.py windows      # >=1e6 distinct (hour,type) keys
     python tools/stress_scale.py dedup        # 40x near-dup clique A/B guard
+    python tools/stress_scale.py corpus_prep  # full composition at 40x
 
 Each subcommand prints one JSON line. Own Ray session (tools are CLI
 entry points; library code never calls ray.init).
@@ -95,16 +96,10 @@ def stress_windows():
     return {"rows": n_rows, "distinct_keys": n, "sec": round(secs, 2)}
 
 
-def stress_dedup():
-    """40x near-dup clique corpus (the r3 regression guard):
-    minhash_verified_pairs + dedup_clusters wall time."""
-    from ftw_crawler_ray.stages.dedup import (
-        dedup_clusters,
-        minhash_verified_pairs,
-    )
-
+def _dup40_corpus(d: str) -> int:
+    """40x near-dup clique corpus from sf0.01 documents (20k docs,
+    each original a 40-member near-dup clique). Returns doc count."""
     src = pq.read_table("/root/testdata/sf0.01/documents.parquet")
-    rng = np.random.default_rng(3)
     reps = []
     for rep in range(40):
         ids = pa.compute.add(src["doc_id"], rep * 1_000_003)
@@ -116,9 +111,21 @@ def stress_dedup():
                 src["text"], f"zz{rep}tail", " "
             )
         reps.append(pa.table({"doc_id": ids, "text": texts}))
-    d = "/tmp/stress_dedup40"
     os.makedirs(d, exist_ok=True)
     pq.write_table(pa.concat_tables(reps), os.path.join(d, "documents.parquet"))
+    return src.num_rows * 40
+
+
+def stress_dedup():
+    """40x near-dup clique corpus (the r3 regression guard):
+    minhash_verified_pairs + dedup_clusters wall time."""
+    from ftw_crawler_ray.stages.dedup import (
+        dedup_clusters,
+        minhash_verified_pairs,
+    )
+
+    d = "/tmp/stress_dedup40"
+    n_docs = _dup40_corpus(d)
 
     n_pairs, sec_pairs = _timed(
         lambda: minhash_verified_pairs(d).count()
@@ -126,11 +133,32 @@ def stress_dedup():
     n_clusters, sec_clusters = _timed(lambda: dedup_clusters(d).count())
     shutil.rmtree(d)
     return {
-        "docs": src.num_rows * 40,
+        "docs": n_docs,
         "verified_pairs": n_pairs,
         "verified_sec": round(sec_pairs, 2),
         "cluster_rows": n_clusters,
         "clusters_sec": round(sec_clusters, 2),
+    }
+
+
+def stress_corpus_prep():
+    """The full quality→dedup→pack composition on the 40x dup-heavy
+    corpus: dominated by the dedup stage, so wall time must track the
+    dedup_clusters stress number, and every 40-member clique that
+    passes the gate must collapse to ONE packed row."""
+    from ftw_crawler_ray.pipelines.recipe import corpus_prep
+
+    d = "/tmp/stress_corpus_prep40"
+    n_docs = _dup40_corpus(d)
+    scratch = os.path.join(d, "scratch")
+    n_packed, secs = _timed(
+        lambda: corpus_prep(d, scratch_dir=scratch).count()
+    )
+    shutil.rmtree(d)
+    return {
+        "docs": n_docs,
+        "packed_rows": n_packed,
+        "sec": round(secs, 2),
     }
 
 
@@ -144,7 +172,7 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     fn = {"sessionize": stress_sessionize, "windows": stress_windows,
-          "dedup": stress_dedup}[which]
+          "dedup": stress_dedup, "corpus_prep": stress_corpus_prep}[which]
     out = fn()
     out["stress"] = which
     out["num_cpus"] = cpus
