@@ -333,3 +333,35 @@ class TestCorpusPrep:
             total=("n_tokens", "sum"), count=("n_tokens", "count"))
         over = agg[agg["total"] > 512]
         assert (over["count"] == 1).all()
+
+
+class TestGlobalShuffle:
+    def test_permutation_and_determinism(self, ray_session):
+        """Output is a permutation of the input ids; per-shard pos is
+        dense 0..n-1 ordered by the hash; repeated runs identical."""
+        import pyarrow.parquet as pq
+
+        from ftw_crawler_ray.pipelines.recipe import global_shuffle
+
+        sf = "/root/testdata/sf0.001"
+        got = global_shuffle(sf).to_pandas()
+        all_ids = pq.read_table(
+            f"{sf}/documents.parquet", columns=["doc_id"]
+        ).to_pandas()["doc_id"]
+
+        assert sorted(got["doc_id"]) == sorted(all_ids)
+        for shard, g in got.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(len(g)))
+            h = (g["doc_id"].astype("uint64") * 2654435761) % 4294967296
+            assert (h % 16 == shard).all()
+            ordered = g.sort_values("pos")
+            ho = (ordered["doc_id"].astype("uint64") * 2654435761) \
+                % 4294967296
+            assert ho.is_monotonic_increasing or (
+                sorted(ho) == list(ho)  # ties broken by doc_id
+            )
+
+        again = global_shuffle(sf).to_pandas()
+        assert got.sort_values(["shard", "pos"]).reset_index(drop=True) \
+            .equals(again.sort_values(["shard", "pos"])
+                    .reset_index(drop=True))
