@@ -399,6 +399,15 @@ def _q_global_shuffle(sf_dir: str):
     return global_shuffle(sf_dir)
 
 
+def _q_embedding_dedup(sf_dir: str):
+    # LSH params as in lsh_near_dups (recall 1.0 at the pinned seed,
+    # exact verify) → connected components; the exact-SQL component
+    # oracle applies for the same reason the pair oracle does
+    from ftw_crawler_ray.stages.similarity import embedding_dedup
+
+    return embedding_dedup(sf_dir)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from ftw_crawler_ray.stages.dedup import minhash_candidate_pairs
 
@@ -538,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "corpus_prep": _q_corpus_prep,
         "global_shuffle": _q_global_shuffle,
+        "embedding_dedup": _q_embedding_dedup,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1355,5 +1365,27 @@ SELECT doc_id, CAST(h % 16 AS INTEGER) AS shard,
        row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1
            AS pos
 FROM hpos
+""",
+        # vector-side dedup clusters: recursive reachability over the
+        # exact cosine near-dup edges (same threshold as the
+        # lsh_near_dups oracle) — cluster_id = min reachable vec_id
+        "embedding_dedup": """
+WITH RECURSIVE nd AS (
+    SELECT a.vec_id AS va, b.vec_id AS vb
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6)
+          >= 0.4
+),
+edges AS (
+    SELECT va AS s, vb AS d FROM nd
+    UNION ALL SELECT vb, va FROM nd
+),
+reach(node, r) AS (
+    SELECT s, s FROM edges
+    UNION
+    SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
+)
+SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
 """,
     }

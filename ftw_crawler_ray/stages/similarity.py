@@ -479,3 +479,58 @@ def ivf_topk(sf_dir: str, query_ids: list[int], k: int = 10,
     return candidates.groupby("query_id").map_groups(
         finalize, batch_format="pyarrow"
     )
+
+
+def embedding_dedup(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_bands: int = 64,
+    planes_per_band: int = 4,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-dup CLUSTERS — the vector-side twin of
+    stages/dedup.minhash_dedup: banded-LSH candidate pairs with exact
+    cosine verification (:func:`lsh_near_dups`) feed the distributed
+    connected-components pass (min-label propagation with pointer
+    doubling, stages/dedup.connected_components). Output: (vec_id,
+    cluster_id = min vec_id of the component) for every vector in
+    ≥ 1 near-dup relation — drop non-representatives to dedup a
+    corpus by embedding similarity.
+
+    Scale shape inherits both parents: vectors shuffle at most twice
+    (the verify joins), components exchange only int labels."""
+    from .dedup import connected_components
+
+    pairs = lsh_near_dups(
+        sf_dir, threshold=threshold, n_bands=n_bands,
+        planes_per_band=planes_per_band, seed=seed,
+    )
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or "vec_a" not in t.column_names:
+            return empty
+        return pa.table(
+            {"doc_a": t["vec_a"].combine_chunks().cast(pa.int64()),
+             "doc_b": t["vec_b"].combine_chunks().cast(pa.int64())}
+        )
+
+    comps = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow",
+                          batch_size=None)
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("vec_id", pa.int64()), ("cluster_id", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return empty
+        return pa.table(
+            {"vec_id": t["doc_id"], "cluster_id": t["cluster_id"]}
+        )
+
+    return comps.map_batches(rename, batch_format="pyarrow",
+                             batch_size=None)
