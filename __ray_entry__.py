@@ -399,6 +399,12 @@ def _q_global_shuffle(sf_dir: str):
     return global_shuffle(sf_dir)
 
 
+def _q_split_dataset(sf_dir: str):
+    from ftw_crawler_ray.pipelines.recipe import split_dataset
+
+    return split_dataset(sf_dir)
+
+
 def _q_embedding_dedup(sf_dir: str):
     # LSH params as in lsh_near_dups (recall 1.0 at the pinned seed,
     # exact verify) → connected components; the exact-SQL component
@@ -548,6 +554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "global_shuffle": _q_global_shuffle,
         "embedding_dedup": _q_embedding_dedup,
+        "split_dataset": _q_split_dataset,
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
@@ -1387,5 +1394,17 @@ reach(node, r) AS (
     SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
 )
 SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+""",
+        # stratified-by-construction split: salted Knuth hash (+1 on
+        # the id decorrelates from training_mix's unsalted sampling
+        # hash), uniform within every source
+        "split_dataset": """
+SELECT doc_id, source,
+       CASE WHEN ((doc_id + 1) * 2654435761) % 4294967296 % 100 >= 95
+                THEN 'test'
+            WHEN ((doc_id + 1) * 2654435761) % 4294967296 % 100 >= 90
+                THEN 'val'
+            ELSE 'train' END AS split
+FROM documents
 """,
     }

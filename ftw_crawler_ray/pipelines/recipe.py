@@ -281,3 +281,43 @@ def global_shuffle(sf_dir: str, n_shards: int = 16) -> ray.data.Dataset:
         docs.map_batches(tag, batch_format="pyarrow", batch_size=None),
         order, mid_schema=mid, num_parts=n_shards,
     )
+
+
+def split_dataset(sf_dir: str, val_pct: int = 5,
+                  test_pct: int = 5) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment, stratified by source.
+    The split hash is ``((doc_id+1)·2654435761 mod 2³²) mod 100`` —
+    the repo's Knuth scatter, salted with +1 so the split decision is
+    decorrelated from the source-mix sampling decision (training_mix
+    uses the unsalted identical formula; without the salt, every
+    mix-sampled doc would also land in the same split band).
+    Stratification is free: the hash is uniform within every source,
+    so each stratum splits at the same rates with no shuffle — the
+    whole op is one stateless zero-shuffle map, the 100 TB shape.
+    Output: (doc_id, source, split ∈ {'train','val','test'}).
+
+    SQL oracle: the same salted hash + CASE ladder."""
+    import numpy as np
+
+    docs = sized_read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    lo_test = 100 - test_pct
+    lo_val = lo_test - val_pct
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        b = (
+            ((ids + 1).astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296) % np.uint64(100)
+        ).astype(np.int64)
+        split = np.where(
+            b >= lo_test, "test", np.where(b >= lo_val, "val", "train")
+        )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "source": batch["source"],
+             "split": pa.array(split.tolist(), pa.string())}
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow",
+                            batch_size=None)
