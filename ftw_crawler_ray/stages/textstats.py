@@ -129,25 +129,118 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     ).select_columns(["doc_id", "lang", "lang_pred"])
 
 
-def topk_docs_per_source(sf_dir: str, k: int = 3) -> ray.data.Dataset:
-    """Top-k longest documents per source — grouped top-k via
-    in-group sort (sort-within-map_groups; no global sort)."""
+def _topk_select(sources: np.ndarray, n_chars: np.ndarray,
+                 ids: np.ndarray, k: int):
+    """Indices of the top-k rows per source segment plus each kept
+    row's 0-based rank. Order within a source: n_chars DESC, doc_id
+    ASC (ties). ``sources`` is any comparable numpy array (dictionary
+    codes or strings)."""
+    order = np.lexsort((ids, -n_chars, sources))
+    s = sources[order]
+    n = len(s)
+    new_seg = np.r_[True, s[1:] != s[:-1]]
+    starts = np.nonzero(new_seg)[0]
+    seg = np.cumsum(new_seg) - 1
+    pos = np.arange(n) - starts[seg]
+    keep = pos < k
+    return order[keep], pos[keep]
+
+
+def topk_docs_per_source(sf_dir: str, k: int = 3,
+                         num_parts: int = 64) -> ray.data.Dataset:
+    """Top-k longest documents per source.
+
+    NOT ``groupby("source").map_groups``: that hands ALL rows of a
+    source to one task — unbounded at scale (one dominant source =
+    one task holding billions of rows). Instead: per-batch LOCAL
+    top-k (≤ k rows per source survive each batch) → fixed
+    ``num_parts`` shuffle keyed on hash(source) → the same top-k per
+    partition. The merge input is ≤ k × n_batches rows per source, so
+    no task ever sees a whole source (the ``util.grouped_agg``
+    pattern; cf. stages/window.py ``_keyed_window_agg``)."""
     docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
     )
+    return topk_per_source_ds(docs, k=k, num_parts=num_parts)
 
-    def topk(group: pa.Table) -> pa.Table:
-        import numpy as np
 
-        n_chars = group["n_chars"].to_numpy()
-        ids = group["doc_id"].to_numpy()
-        order = np.lexsort((ids, -n_chars))[:k]
-        out = group.take(order)
-        return out.append_column(
-            "rank", pa.array(range(len(order)), pa.int64())
+def topk_per_source_ds(docs: ray.data.Dataset, k: int = 3,
+                       num_parts: int = 64) -> ray.data.Dataset:
+    """Dataset-level top-k per source (see :func:`topk_docs_per_source`).
+
+    ``docs`` must carry (doc_id int, source string, n_chars int)."""
+    mid_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("n_chars", pa.int64()), ("__part", pa.int32())]
+    )
+    final_schema = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()),
+         ("n_chars", pa.int64()), ("rank", pa.int64())]
+    )
+    n_ids = part_space(num_parts)
+
+    def _src_parts(src_dict: pa.DictionaryArray) -> np.ndarray:
+        # hash the FEW distinct source strings, broadcast via codes
+        # (md5-prefix: stable across processes, unlike hash())
+        dict_parts = np.array(
+            [
+                int.from_bytes(
+                    hashlib.md5(s.encode("utf-8")).digest()[:8], "big"
+                ) % n_ids
+                for s in src_dict.dictionary.to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        return dict_parts[src_dict.indices.to_numpy()]
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.column_names:
+            return mid_schema.empty_table()
+        src_dict = t["source"].combine_chunks().dictionary_encode()
+        codes = src_dict.indices.to_numpy()
+        sel, _ = _topk_select(
+            codes,
+            t["n_chars"].to_numpy().astype(np.int64),
+            t["doc_id"].to_numpy().astype(np.int64),
+            k,
+        )
+        parts = _src_parts(src_dict)[sel]
+        kept = t.take(pa.array(sel, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"].combine_chunks().cast(pa.int64()),
+                "source": kept["source"].combine_chunks().cast(pa.string()),
+                "n_chars": kept["n_chars"].combine_chunks().cast(pa.int64()),
+                "__part": pa.array(parts.astype(np.int32), pa.int32()),
+            },
+            schema=mid_schema,
         )
 
-    return docs.groupby("source").map_groups(topk, batch_format="pyarrow")
+    def merge_topk(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "source" not in group.column_names:
+            return final_schema.empty_table()
+        src_dict = group["source"].combine_chunks().dictionary_encode()
+        sel, rank = _topk_select(
+            src_dict.indices.to_numpy(),
+            group["n_chars"].to_numpy().astype(np.int64),
+            group["doc_id"].to_numpy().astype(np.int64),
+            k,
+        )
+        kept = group.take(pa.array(sel, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"].combine_chunks().cast(pa.int64()),
+                "source": kept["source"].combine_chunks().cast(pa.string()),
+                "n_chars": kept["n_chars"].combine_chunks().cast(pa.int64()),
+                "rank": pa.array(rank.astype(np.int64), pa.int64()),
+            },
+            schema=final_schema,
+        )
+
+    return partitioned_groups(
+        docs.map_batches(local_topk, batch_format="pyarrow", batch_size=None),
+        merge_topk, mid_schema=mid_schema, num_parts=num_parts,
+    )
 
 
 def source_mix(sf_dir: str, weights: dict[str, int] | None = None) -> ray.data.Dataset:

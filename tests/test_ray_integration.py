@@ -580,3 +580,49 @@ class TestAttachColumn:
         assert [r["name"] for r in out] == ["a", "b", "c", "d"]
         vals = [None if r["vals"] is None else list(r["vals"]) for r in out]
         assert vals == [None, [20, 21], None, [40]]
+
+
+class TestTopkPerSource:
+    """topk_per_source_ds: the per-batch local top-k + fixed-partition
+    merge lowering must match a pandas reference exactly (order by
+    n_chars DESC, doc_id ASC; rank 0-based) even when one source owns
+    ~all rows and rows are spread over many blocks."""
+
+    def test_matches_pandas_reference_under_skew(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from ftw_crawler_ray.stages.textstats import topk_per_source_ds
+
+        n = 20_000
+        ids = np.arange(n, dtype=np.int64)
+        src = np.where(
+            ids % 10 != 9, "hot",
+            np.char.add("src", (ids % 7).astype(str)),
+        )
+        # ties on purpose: n_chars has only 50 distinct values
+        n_chars = (ids * 2654435761) % 50
+        t = pa.table(
+            {"doc_id": pa.array(ids), "source": pa.array(src),
+             "n_chars": pa.array(n_chars.astype(np.int64))}
+        )
+        docs = ray.data.from_arrow(t).repartition(32)
+        got = (
+            topk_per_source_ds(docs, k=3, num_parts=8)
+            .to_pandas()
+            .sort_values(["source", "rank"])
+            .reset_index(drop=True)
+        )
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["source", "n_chars", "doc_id"],
+            ascending=[True, False, True],
+        )
+        df["rank"] = df.groupby("source").cumcount()
+        want = df[df["rank"] < 3].reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "source", "n_chars", "rank"]],
+            want[["doc_id", "source", "n_chars", "rank"]],
+        )

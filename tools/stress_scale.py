@@ -162,6 +162,54 @@ def stress_corpus_prep():
     }
 
 
+def stress_topk():
+    """topk_per_source on a 5M-row corpus, balanced (200 uniform
+    sources) vs skewed (one source owns 90% of rows): wall time must
+    be ~flat — the r4-weak `groupby(source).map_groups` shape would
+    put 4.5M rows in ONE task on the skewed side."""
+    import ray.data
+
+    from ftw_crawler_ray.stages.textstats import topk_per_source_ds
+
+    n_rows = 5_000_000
+
+    def make(skewed: bool):
+        def gen(batch):
+            ids = batch["id"].to_numpy().astype(np.int64)
+            if skewed:
+                # 90% src0, the tail spread over 199 other sources
+                src = np.where(
+                    ids % 10 != 9, "src0",
+                    np.char.add("src", ((ids % 199) + 1).astype(str)),
+                )
+            else:
+                src = np.char.add("src", (ids % 200).astype(str))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "source": pa.array(src, pa.string()),
+                    "n_chars": pa.array(
+                        (ids * 2654435761) % 100_000, pa.int64()
+                    ),
+                }
+            )
+
+        return ray.data.range(n_rows, override_num_blocks=256).map_batches(
+            gen, batch_format="pyarrow", batch_size=None
+        )
+
+    res = {"rows": n_rows}
+    for label, skewed in (("balanced", False), ("skewed_90pct", True)):
+        n, secs = _timed(
+            lambda: topk_per_source_ds(make(skewed), k=3).count()
+        )
+        res[label] = {"topk_rows": n, "sec": round(secs, 2)}
+    res["skew_over_balanced"] = round(
+        res["skewed_90pct"]["sec"] / res["balanced"]["sec"], 2
+    )
+    return res
+
+
 def main():
     import ray
 
@@ -172,7 +220,8 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     fn = {"sessionize": stress_sessionize, "windows": stress_windows,
-          "dedup": stress_dedup, "corpus_prep": stress_corpus_prep}[which]
+          "dedup": stress_dedup, "corpus_prep": stress_corpus_prep,
+          "topk": stress_topk}[which]
     out = fn()
     out["stress"] = which
     out["num_cpus"] = cpus
