@@ -415,9 +415,16 @@ def _q_embedding_dedup(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
-    from ftw_crawler_ray.stages.dedup import minhash_candidate_pairs
+    """Recall-invariant + count-band check of the LSH candidate stage:
+    the band hashes are blake2b (not SQL-recomputable), but the
+    candidate set's CONTRACT is — it must contain every pair with
+    exact word-5-gram Jaccard ≥ 0.8 (rows = verified candidates vs the
+    oracle's exhaustive true pairs) and must not blow up past 4× the
+    true-pair count (the (-1,-1) sentinel row)."""
+    from ftw_crawler_ray.stages.dedup import minhash_candidate_recall_check
 
-    return minhash_candidate_pairs(sf_dir)
+    return minhash_candidate_recall_check(sf_dir, threshold=0.8,
+                                          band_factor=4)
 
 
 def _q_minhash_verified(sf_dir: str):
@@ -869,6 +876,20 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         # (collision probability ~2^-64); LSH banding at 64 perms /
         # 16 bands has per-pair miss ~2e-4 at j=0.8 and recall 1.0
         # on this corpus, verification is exact
+        # recall invariant of the LSH candidate stage: every exact-
+        # Jaccard-≥0.8 pair must be a candidate (the Ray side emits
+        # the verified candidates, so equality ⇔ oracle_pairs EXCEPT
+        # candidates = ∅), plus the always-true count-band sentinel
+        # the Ray side only emits when n_candidates stays within 4×
+        # of the true-pair count
+        "minhash_pairs": f"""
+WITH {SQL_MINHASH_GRAMS}
+SELECT doc_a, doc_b FROM inter
+JOIN sizes sa ON sa.doc_id = inter.doc_a
+JOIN sizes sb ON sb.doc_id = inter.doc_b
+WHERE ninter * 1.0 / (sa.n + sb.n - ninter) >= 0.8
+UNION ALL SELECT -1 AS doc_a, -1 AS doc_b
+""",
         "minhash_verified": f"""
 WITH {SQL_MINHASH_GRAMS}
 SELECT doc_a, doc_b,

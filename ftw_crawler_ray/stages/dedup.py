@@ -471,6 +471,54 @@ def minhash_verified_pairs(
     )
 
 
+def minhash_candidate_recall_check(
+    sf_dir: str,
+    threshold: float = 0.8,
+    band_factor: int = 4,
+    n_perm: int = _N_PERM_DEFAULT,
+    n_bands: int = 16,
+    k: int = 5,
+) -> pa.Table:
+    """SQL-checkable invariant surface for the LSH CANDIDATE stage
+    (whose blake2b band hashes no SQL engine can recompute).
+
+    Two invariants, both violations of which a DuckDB oracle catches
+    by row mismatch:
+
+    1. RECALL — every pair with exact word-``k``-gram Jaccard ≥
+       ``threshold`` must be in the candidate set. The emitted rows
+       are the exact-verified candidates (verified ⊆ candidates by
+       construction); the oracle emits ALL true pairs via the
+       O(n²)-gram self-join, so ``oracle EXCEPT candidates = ∅`` ⇔
+       row equality.
+    2. COUNT BAND — the candidate set must not blow up: a sentinel
+       row (-1, -1) is emitted iff ``n_true ≤ n_candidates ≤
+       band_factor · max(n_true, 1)``. The oracle always emits the
+       sentinel, so a pathological candidate explosion (or an empty
+       candidate set with true pairs present) drops/keeps the row
+       and fails the hash.
+
+    Returns a small materialized Table (pairs are candidate-bounded;
+    this is a gate query, not a production stage)."""
+    n_cands = minhash_candidate_pairs(sf_dir, n_perm, n_bands, k).count()
+    verified_rows = (
+        minhash_verified_pairs(sf_dir, threshold, n_perm, n_bands, k)
+        .select_columns(["doc_a", "doc_b"])
+        .take_all()
+    )
+    schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    verified = pa.Table.from_pylist(verified_rows, schema=schema)
+    n_true = verified.num_rows
+    band_ok = n_true <= n_cands <= band_factor * max(n_true, 1)
+    parts = [verified]
+    if band_ok:
+        parts.append(
+            pa.table({"doc_a": pa.array([-1], pa.int64()),
+                      "doc_b": pa.array([-1], pa.int64())}, schema=schema)
+        )
+    return pa.concat_tables(parts)
+
+
 def _cc_owner(nodes: np.ndarray, num_parts: int) -> np.ndarray:
     """Partition owner of each node id (same multiplicative hash as
     the util.py fixed-partition shuffles)."""
