@@ -497,9 +497,28 @@ def _q_simhash(sf_dir: str):
 
 
 def _q_image_features(sf_dir: str):
+    """The full feature stage runs (real PNG/JPEG/GIF header decode +
+    FIMG pixel stats + digests); the projection keeps the SQL-
+    derivable columns — format, true dims (closed-form media_dims),
+    n_pixels = w·h for FIMG rows / NULL for header-only rows. The
+    rng-pixel histogram and blake2b digest stay pytest-pinned."""
+    import pyarrow as pa
+
     from ftw_crawler_ray.stages.multimodal import image_features
 
-    return image_features(sf_dir)
+    # int64 dims on both sides: the driver's value hash is type-sensitive
+    return image_features(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "media_id": t["media_id"],
+                "format": t["format"],
+                "width": t["width"].combine_chunks().cast(pa.int64()),
+                "height": t["height"].combine_chunks().cast(pa.int64()),
+                "n_pixels": t["n_pixels"],
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
 
 
 def _q_sampled_frames(sf_dir: str):
@@ -921,6 +940,25 @@ reach(node, r) AS (
     SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.node
 )
 SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+""",
+        # image fixture-table oracle: the media corpus embeds REAL
+        # PNG/JPEG/GIF containers (doc_id % 5 ∈ {0,1,2}) whose header
+        # dims are the closed-form media_dims(doc_id); FIMG rows
+        # (% 5 ∈ {3,4}) carry full pixel stats so n_pixels = w·h,
+        # header-only rows NULL (no pixel decode without an image lib)
+        "image_features": """
+WITH dims AS (
+    SELECT doc_id,
+           16 + (doc_id * 2654435761) % 4294967296 % 48 AS width,
+           16 + (doc_id * 40503) % 65536 % 48 AS height
+    FROM documents
+)
+SELECT doc_id AS media_id,
+       CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+            WHEN 2 THEN 'gif' ELSE 'fimg' END AS format,
+       width, height,
+       CASE WHEN doc_id % 5 > 2 THEN width * height END AS n_pixels
+FROM dims
 """,
         # FrameSampler explode plumbing: every 2nd of the 8 fake
         # frames per video → frame_idx {0,2,4,6} per media row (the

@@ -35,12 +35,55 @@ _VID_MAGIC = b"FVID"
 # ---------------------------------------------------------------------------
 
 
+def media_dims(seed: int) -> tuple[int, int]:
+    """Closed-form deterministic dimensions for synthetic media —
+    SQL-recomputable (the image_features oracle re-derives them from
+    doc_id), range [16, 64) so resize tests stay meaningful."""
+    w = 16 + (seed * 2654435761) % 4294967296 % 48
+    h = 16 + (seed * 40503) % 65536 % 48
+    return int(w), int(h)
+
+
 def fake_image_bytes(seed: int) -> bytes:
-    """Self-describing fake image: FIMG | w | h | pixel bytes."""
+    """Self-describing fake image: FIMG | w | h | pixel bytes.
+    Dimensions are the closed-form :func:`media_dims` (oracle-
+    checkable); pixel contents stay rng-derived."""
+    w, h = media_dims(seed)
     rng = np.random.default_rng(seed)
-    w, h = int(rng.integers(16, 64)), int(rng.integers(16, 64))
     pixels = rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
     return _IMG_MAGIC + struct.pack("<HH", w, h) + pixels
+
+
+def synth_png_bytes(w: int, h: int) -> bytes:
+    """Minimal real PNG container: signature + IHDR (with CRC) + IEND.
+    Public spec (RFC 2083); header-parseable by any PNG reader."""
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    out = _PNG_SIG + struct.pack(">I", 13) + b"IHDR" + ihdr
+    out += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return out + struct.pack(">I", 0) + b"IEND" + struct.pack(
+        ">I", zlib.crc32(b"IEND")
+    )
+
+
+def synth_jpeg_bytes(w: int, h: int) -> bytes:
+    """Minimal real JPEG container: SOI, APP0/JFIF, a comment segment,
+    a spec-legal 0xFF fill byte before SOF0 (exercises the fill-byte
+    handling in :func:`parse_image_header`), SOF0 with the true
+    dimensions, SOS, EOI."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    com = b"\xff\xfe" + struct.pack(">H", 6) + b"fix!"
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", h, w) + b"\x01\x11\x00")
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + com + b"\xff" + sof0 + sos + b"scan\xff\xd9"
+
+
+def synth_gif_bytes(w: int, h: int) -> bytes:
+    """Minimal real GIF89a container: header + logical screen
+    descriptor + trailer."""
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00" + b"\x3b"
 
 
 def fake_video_bytes(seed: int, n_frames: int = 8) -> bytes:
@@ -51,15 +94,34 @@ def fake_video_bytes(seed: int, n_frames: int = 8) -> bytes:
     return _VID_MAGIC + struct.pack("<HH", n_frames, frame_len) + frames.tobytes()
 
 
+def synth_image_bytes(seed: int) -> bytes:
+    """One deterministic image payload per id: ids 0/1/2 (mod 5) get
+    REAL PNG/JPEG/GIF containers (true dims in real headers — the
+    fixture rows the image_features oracle value-checks), the rest the
+    FIMG fake format (full pixel stats). All dims are
+    :func:`media_dims` closed forms."""
+    kind = seed % 5
+    if kind > 2:
+        return fake_image_bytes(seed)
+    w, h = media_dims(seed)
+    if kind == 0:
+        return synth_png_bytes(w, h)
+    if kind == 1:
+        return synth_jpeg_bytes(w, h)
+    return synth_gif_bytes(w, h)
+
+
 def media_table(sf_dir: str, modality: str = "image") -> ray.data.Dataset:
     """documents → media rows: (media_id, payload: binary, modality,
-    metadata columns). Deterministic from doc_id."""
+    metadata columns). Deterministic from doc_id; image payloads mix
+    real PNG/JPEG/GIF containers with FIMG fakes (see
+    :func:`synth_image_bytes`)."""
     docs = sized_read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def synth(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         if modality == "image":
-            payloads = [fake_image_bytes(i) for i in ids]
+            payloads = [synth_image_bytes(i) for i in ids]
         else:
             payloads = [fake_video_bytes(i) for i in ids]
         return pa.table(
@@ -132,19 +194,30 @@ def parse_image_header(payload: bytes):
         return ("png", w, h)
     if payload[:2] == b"\xff\xd8":
         i, n = 2, len(payload)
-        while i + 4 <= n:
+        while i + 1 < n:
             if payload[i] != 0xFF:
                 i += 1
                 continue
-            marker = payload[i + 1]
+            j = i + 1
+            while j < n and payload[j] == 0xFF:
+                j += 1  # 0xFF fill bytes before a marker are spec-legal
+            if j >= n:
+                break
+            marker = payload[j]
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                i += 2  # standalone markers carry no length
+                i = j + 1  # standalone markers carry no length
                 continue
-            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in (0xD9, 0xDA):
+                break  # EOI / start-of-scan: no SOFn seen → no dims
+            if j + 3 > n:
+                break  # truncated length field
+            seg_len = struct.unpack(">H", payload[j + 1 : j + 3])[0]
             if marker in _JPEG_SOF_MARKERS:
-                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                if j + 8 > n:
+                    break  # truncated frame header
+                h, w = struct.unpack(">HH", payload[j + 4 : j + 8])
                 return ("jpeg", w, h)
-            i += 2 + seg_len
+            i = j + 1 + seg_len  # length counts from the length field
         return None
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
@@ -154,17 +227,18 @@ def parse_image_header(payload: bytes):
 
 class HeaderImageCodec:
     """Real-container codec for the feature stage: true dimensions
-    from PNG/JPEG/GIF headers (pure Python, public specs); "pixel"
-    stats are computed over the CONTAINER bytes (honestly labeled —
-    full pixel decode still needs an image library; resize stays
-    NotImplementedError like :class:`RealImageCodec`)."""
+    from PNG/JPEG/GIF headers (pure Python, public specs). Pixels are
+    NOT decoded — that needs an image library — so the pixel slot is
+    ``None`` (header-only rows get null pixel stats downstream; never
+    container-byte stats masquerading as pixels). ``resize`` stays
+    NotImplementedError like :class:`RealImageCodec`."""
 
     def decode(self, payload: bytes):
         parsed = parse_image_header(payload)
         if parsed is None:
             raise ValueError("not a PNG/JPEG/GIF payload")
-        _, w, h = parsed
-        return w, h, np.frombuffer(payload, dtype=np.uint8)
+        fmt, w, h = parsed
+        return fmt, w, h, None
 
     def resize(self, payload: bytes, max_side: int):  # pragma: no cover
         raise NotImplementedError(
@@ -176,7 +250,10 @@ class HeaderImageCodec:
 class AutoImageCodec:
     """Dispatching codec: FIMG payloads decode through the fake codec
     (full pixel stats), real PNG/JPEG/GIF containers through the
-    header codec (true dimensions, container-byte stats)."""
+    header codec (true dimensions, null pixel stats).
+
+    Contract for :class:`ImageFeatures` codecs:
+    ``decode(payload) -> (format, width, height, pixels | None)``."""
 
     def __init__(self):
         self.fake = FakeImageCodec()
@@ -184,7 +261,8 @@ class AutoImageCodec:
 
     def decode(self, payload: bytes):
         if payload[:4] == _IMG_MAGIC:
-            return self.fake.decode(payload)
+            w, h, pixels = self.fake.decode(payload)
+            return "fimg", w, h, pixels
         return self.header.decode(payload)
 
     def resize(self, payload: bytes, max_side: int):
@@ -194,26 +272,46 @@ class AutoImageCodec:
 
 
 class ImageFeatures:
-    """Actor-pool stage: decode → (width, height, n_pixels,
+    """Actor-pool stage: decode → (format, width, height, n_pixels,
     16-bin byte histogram, content digest); payload projected away.
-    Codec built once per actor (__init__), work per batch."""
+    Codec built once per actor (__init__), work per batch.
+
+    Header-only decodes (real containers, no image library) emit NULL
+    n_pixels/histogram — the pixel-stat columns mean pixels or
+    nothing. A row whose payload fails to decode yields null
+    format/dims instead of failing the whole batch (one odd payload
+    in a 100 TB corpus must not kill a 256-row task)."""
 
     def __init__(self, codec=None):
         self.codec = codec if codec is not None else AutoImageCodec()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, n_pixels, hists, digests = [], [], [], [], []
+        fmts, widths, heights, n_pixels, hists, digests = [], [], [], [], [], []
         for payload in batch["payload"].to_pylist():
-            w, h, pixels = self.codec.decode(payload)
+            digests.append(hashlib.blake2b(payload, digest_size=8).hexdigest())
+            try:
+                fmt, w, h, pixels = self.codec.decode(payload)
+            except (ValueError, struct.error, IndexError):
+                fmts.append(None)
+                widths.append(None)
+                heights.append(None)
+                n_pixels.append(None)
+                hists.append(None)
+                continue
+            fmts.append(fmt)
             widths.append(w)
             heights.append(h)
-            n_pixels.append(len(pixels))
-            hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
-            hists.append(hist.astype(np.int64).tolist())
-            digests.append(hashlib.blake2b(payload, digest_size=8).hexdigest())
+            if pixels is None:
+                n_pixels.append(None)
+                hists.append(None)
+            else:
+                n_pixels.append(len(pixels))
+                hist, _ = np.histogram(pixels, bins=16, range=(0, 256))
+                hists.append(hist.astype(np.int64).tolist())
         return pa.table(
             {
                 "media_id": batch["media_id"],
+                "format": pa.array(fmts, pa.string()),
                 "width": pa.array(widths, pa.int32()),
                 "height": pa.array(heights, pa.int32()),
                 "n_pixels": pa.array(n_pixels, pa.int64()),

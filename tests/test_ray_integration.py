@@ -80,7 +80,12 @@ class TestMultimodalPipelines:
 
         df = image_features(SF).to_pandas()
         assert len(df) == 500
-        assert (df["n_pixels"] == df["width"] * df["height"]).all()
+        fimg = df[df["format"] == "fimg"]
+        real = df[df["format"] != "fimg"]
+        assert len(fimg) == 200 and len(real) == 300  # doc_id % 5 mix
+        assert (fimg["n_pixels"] == fimg["width"] * fimg["height"]).all()
+        assert real["n_pixels"].isna().all()  # header-only: no pixel stats
+        assert (df["width"] >= 16).all() and (df["width"] < 64).all()
 
     def test_frame_sampling_pipeline(self, ray_session):
         from ftw_crawler_ray.stages.multimodal import sampled_frames

@@ -164,13 +164,18 @@ class TestMultimodal:
     def test_image_features_true_dimensions_for_real_formats(self):
         """The feature stage reads TRUE dimensions out of real
         PNG/JPEG/GIF containers (pure-Python header parse) while FIMG
-        payloads keep full fake-pixel stats — same actor signature."""
+        payloads keep full fake-pixel stats — same actor signature.
+        Header-only rows get NULL pixel stats (no pixel decode without
+        an image library; container-byte stats would lie), and a
+        corrupt payload nulls its own row instead of failing the
+        batch."""
         payloads = [self._png_bytes(320, 240), self._jpeg_bytes(640, 480),
-                    self._gif_bytes(17, 23), fake_image_bytes(3)]
+                    self._gif_bytes(17, 23), fake_image_bytes(3),
+                    b"corrupt not-an-image"]
         batch = pa.table(
             {
-                "media_id": pa.array([1, 2, 3, 4], pa.int64()),
-                "modality": ["image"] * 4,
+                "media_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "modality": ["image"] * 5,
                 "payload": pa.array(payloads, pa.binary()),
             }
         )
@@ -178,10 +183,52 @@ class TestMultimodal:
         assert (rows[0]["width"], rows[0]["height"]) == (320, 240)
         assert (rows[1]["width"], rows[1]["height"]) == (640, 480)
         assert (rows[2]["width"], rows[2]["height"]) == (17, 23)
-        # container-byte stats for real formats: histogram over payload
-        assert rows[0]["n_pixels"] == len(payloads[0])
+        assert [r["format"] for r in rows] == [
+            "png", "jpeg", "gif", "fimg", None]
+        # header-only rows: pixel stats are honestly null
+        assert rows[0]["n_pixels"] is None and rows[0]["histogram"] is None
         # fake format unchanged: pixel stats
         assert rows[3]["n_pixels"] == rows[3]["width"] * rows[3]["height"]
+        # corrupt payload: nulled row, digest still emitted
+        assert rows[4]["width"] is None and rows[4]["digest"]
+
+    def test_jpeg_walker_fill_bytes_and_eoi(self):
+        """Spec-legal 0xFF fill bytes before a marker must be skipped
+        (not parsed as a length-bearing segment) and EOI/SOS terminate
+        the walk instead of reading bogus lengths past them."""
+        import struct as st
+
+        from ftw_crawler_ray.stages.multimodal import (
+            parse_image_header,
+            synth_jpeg_bytes,
+        )
+
+        # synth fixture embeds a fill byte before SOF0 by construction
+        assert parse_image_header(synth_jpeg_bytes(33, 44)) == ("jpeg", 33, 44)
+        # double-fill before SOF0
+        sof0 = (b"\xff\xc0" + st.pack(">H", 11) + b"\x08"
+                + st.pack(">HH", 7, 9) + b"\x01\x11\x00")
+        assert parse_image_header(
+            b"\xff\xd8\xff\xff" + sof0) == ("jpeg", 9, 7)
+        # EOI before any SOF: None, no bogus segment walk past it
+        assert parse_image_header(b"\xff\xd8\xff\xd9\xff\xc0junk") is None
+        # truncated frame header: None, not struct.error
+        assert parse_image_header(b"\xff\xd8" + sof0[:6]) is None
+
+    def test_synth_image_corpus_mix(self):
+        """synth_image_bytes: ids 0/1/2 (mod 5) → real containers
+        whose headers parse to the closed-form media_dims; 3/4 → FIMG."""
+        from ftw_crawler_ray.stages.multimodal import (
+            media_dims,
+            parse_image_header,
+            synth_image_bytes,
+        )
+
+        for i, fmt in [(10, "png"), (11, "jpeg"), (12, "gif")]:
+            w, h = media_dims(i)
+            assert parse_image_header(synth_image_bytes(i)) == (fmt, w, h)
+        assert synth_image_bytes(13)[:4] == b"FIMG"
+        assert synth_image_bytes(14)[:4] == b"FIMG"
 
     def test_resizer_shrinks(self):
         batch = pa.table(
