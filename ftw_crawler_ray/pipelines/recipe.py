@@ -105,7 +105,7 @@ def corpus_prep(
     scratch_dir: "str | None" = None,
 ) -> ray.data.Dataset:
     """END-TO-END pretraining corpus prep — the full composition a
-    100 TB pipeline actually runs, as ONE lazy plan:
+    100 TB pipeline actually runs:
 
         documents ──► quality gate (token count + distinct-token
                       ratio; the quality_scores integer formulas)
@@ -125,6 +125,12 @@ def corpus_prep(
     null-flag filter (the hash-join shape, not Dataset.join — see
     CLAUDE.md).
 
+    Execution timing: the dedup stage Parquet-stages its groups and
+    keeper texts EAGERLY at call time (multi-consumer staging without
+    an object-store pin — dedup_clusters docstring), so this function
+    blocks for the dedup prefix; the returned packed dataset itself
+    is lazy.
+
     Output: (doc_id, part, seq_id, seq_offset, n_tokens) — one row
     per kept document, the training-batcher assignment. SQL oracle:
     the ``corpus_prep`` entry in __ray_entry__.py chains the same
@@ -141,28 +147,29 @@ def corpus_prep(
     )
 
     def _quality_mask(batch: pa.Table):
-        toks = [t.split() for t in batch["text"].to_pylist()]
-        keep = np.array(
-            [len(w) >= min_tokens
-             and len(set(w)) * 1000 // len(w) >= min_distinct_x1000
-             if w else False
-             for w in toks],
-            dtype=bool,
-        )
-        return keep, toks
+        """ONE shared kernel for both quality consumers: each text is
+        split exactly once, emitting (keep, n_tokens) — no token-list
+        materialization, no second tokenization pass."""
+        n = batch.num_rows
+        keep = np.empty(n, dtype=bool)
+        n_tok = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            w = t.split()
+            n_tok[i] = len(w)
+            keep[i] = bool(w) and len(w) >= min_tokens and (
+                len(set(w)) * 1000 // len(w) >= min_distinct_x1000
+            )
+        return keep, n_tok
 
     def qfilter_text(batch: pa.Table) -> pa.Table:
         keep, _ = _quality_mask(batch)
         return batch.filter(pa.array(keep))
 
     def qfilter_tokens(batch: pa.Table) -> pa.Table:
-        keep, toks = _quality_mask(batch)
-        n = pa.array(
-            [len(w) for w, k in zip(toks, keep) if k], pa.int64()
-        )
+        keep, n_tok = _quality_mask(batch)
         return pa.table(
             {"doc_id": batch["doc_id"].filter(pa.array(keep)),
-             "n_tokens": n}
+             "n_tokens": pa.array(n_tok[keep], pa.int64())}
         )
 
     filtered_text = docs.map_batches(

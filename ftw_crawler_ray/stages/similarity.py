@@ -487,6 +487,7 @@ def embedding_dedup(
     n_bands: int = 64,
     planes_per_band: int = 4,
     seed: int = 42,
+    scratch_dir: "str | None" = None,
 ) -> ray.data.Dataset:
     """Embedding-cosine near-dup CLUSTERS — the vector-side twin of
     stages/dedup.minhash_dedup: banded-LSH candidate pairs with exact
@@ -519,7 +520,8 @@ def embedding_dedup(
 
     comps = connected_components(
         pairs.map_batches(as_edges, batch_format="pyarrow",
-                          batch_size=None)
+                          batch_size=None),
+        scratch_dir=scratch_dir,
     )
 
     def rename(t: pa.Table) -> pa.Table:

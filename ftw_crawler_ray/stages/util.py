@@ -70,6 +70,42 @@ def payload_block_ctx(max_bytes: int = 16 * 1024 * 1024):
         dctx.target_max_block_size = prev
 
 
+def stage_dir(scratch_dir: "str | None", label: str) -> str:
+    """Unique per-invocation staging directory for Parquet handoffs
+    between pipeline stages (keeper texts, component labels, …).
+
+    Every call returns a FRESH subdirectory — ``<root>/<label>_<uuid>``
+    — so a caller reusing one ``scratch_dir`` across runs (the run-dir
+    checkpoint discipline) never re-reads stale files from an earlier
+    invocation: Ray's ``write_parquet`` appends uniquely-named files
+    and would otherwise mix old and new rows.
+
+    Lifecycle: with ``scratch_dir`` the CALLER owns cleanup (staged
+    files must outlive this function — the datasets that read them are
+    lazy). Without it, the root comes from ``tempfile.mkdtemp`` and is
+    deleted at interpreter exit (the earliest point that is safe for
+    an unknown consumer of the returned lazy dataset).
+
+    Topology requirement: the path must be reachable under the SAME
+    name from every worker — a shared filesystem (NFS/FUSE-mounted
+    object store) on multi-node clusters; on the single-node sandbox
+    any local path works. For pure-object-store deployments point
+    ``scratch_dir`` at the mounted bucket path."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    if scratch_dir is None:
+        root = tempfile.mkdtemp(prefix="ftw_stage_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    else:
+        root = scratch_dir
+    d = os.path.join(root, f"{label}_{uuid.uuid4().hex[:12]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def ensure_schema(schema: pa.Schema):
     """Schema-preserving batch normalizer: Ray hash-shuffle stages
     (groupby / aggregate) can emit EMPTY schemaless blocks, which

@@ -631,3 +631,23 @@ class TestTopkPerSource:
             got[["doc_id", "source", "n_chars", "rank"]],
             want[["doc_id", "source", "n_chars", "rank"]],
         )
+
+
+class TestDedupScratchReuse:
+    def test_dedup_clusters_same_scratch_dir_twice(self, ray_session,
+                                                   tmp_path):
+        """Reusing ONE scratch_dir across invocations must not re-read
+        stale staged files from the earlier run (each call stages into
+        a fresh unique subdirectory)."""
+        from ftw_crawler_ray.stages.dedup import dedup_clusters
+
+        sd = str(tmp_path / "run_scratch")
+
+        def run():
+            rows = dedup_clusters(SF, scratch_dir=sd).take_all()
+            return sorted((r["doc_id"], r["cluster_id"]) for r in rows)
+
+        first = run()
+        second = run()
+        assert first == second
+        assert len(first) > 0
