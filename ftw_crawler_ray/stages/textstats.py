@@ -98,11 +98,19 @@ def quality_scores(sf_dir: str) -> ray.data.Dataset:
 
 
 class LangId:
-    """Stopword-profile language id (actor-pool stage: profiles built
-    once per actor)."""
+    """Stopword-profile language id. The batch path is fully
+    vectorized (Arrow lower/split/is_in kernels + one bincount per
+    language — no per-row Python word loop); ``classify`` stays as
+    the per-row reference/plugin surface and the two are
+    equivalence-tested. Stopword value-set arrays are built once per
+    worker (``stateful`` wrapping keeps __init__-once semantics)."""
 
     def __init__(self):
         self.profiles = {k: frozenset(v) for k, v in _LANG_STOPWORDS.items()}
+        self.langs = np.array(list(self.profiles), dtype=object)
+        self._stop_arrays = [
+            pa.array(sorted(v), pa.string()) for v in self.profiles.values()
+        ]
 
     def classify(self, text: str) -> str:
         words = text.lower().split()
@@ -116,8 +124,30 @@ class LangId:
         return best_lang
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.classify(t) for t in batch["text"].to_pylist()]
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(batch["text"].combine_chunks())
+        )
+        # flat token array + row ownership (run lengths off the list
+        # offsets); stray empty tokens from edge whitespace can't hit
+        # a stopword set, so they never affect the counts
+        offs = toks.offsets.to_numpy()
+        row_of = np.repeat(np.arange(n), np.diff(offs))
+        counts = np.zeros((n, len(self._stop_arrays)), dtype=np.int64)
+        for j, stops in enumerate(self._stop_arrays):
+            hit = pc.is_in(toks.values, value_set=stops).to_numpy(
+                zero_copy_only=False
+            )
+            counts[:, j] = np.bincount(row_of[hit], minlength=n)
+        # argmax = first max index = the classify() iteration order
+        best = counts.argmax(axis=1) if n else np.zeros(0, np.int64)
+        preds = np.where(counts.max(axis=1) > 0 if n else [],
+                         self.langs[best], "unknown")
+        return batch.append_column(
+            "lang_pred", pa.array(preds.astype(object), pa.string())
+        )
 
 
 def lang_id(sf_dir: str) -> ray.data.Dataset:

@@ -412,3 +412,29 @@ class TestGlobalShuffle:
         assert got.sort_values(["shard", "pos"]).reset_index(drop=True) \
             .equals(again.sort_values(["shard", "pos"])
                     .reset_index(drop=True))
+
+
+class TestLangId:
+    def test_vectorized_matches_per_row_classify(self):
+        """The Arrow-kernel batch path and the per-row reference
+        ``classify`` must agree exactly — same dual-path invariant as
+        the extraction engine — including empties, whitespace-only
+        text, case folding, and tie-breaking by profile order."""
+        from ftw_crawler_ray.stages.textstats import LangId
+
+        li = LangId()
+        texts = [
+            "", "   ", "the quick fox and the dog",
+            "der hund und die katze ist da",
+            "le chat est une bête", "THE UND LE",  # 3-way tie → first
+            "zz qq ww", "the und", "und the",      # 2-way ties
+            "  the   fox  ",                        # edge whitespace
+        ]
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        )
+        vec = li(batch)["lang_pred"].to_pylist()
+        ref = [li.classify(t) for t in texts]
+        assert vec == ref
+        assert ref[0] == "unknown" and ref[2] == "en" and ref[3] == "de"
