@@ -600,15 +600,19 @@ def hot_gram_hashes(sf_dir: str, k: int = 5, min_docs: int = 5,
 
 def strip_repeated_ngrams(sf_dir: str, k: int = 5, min_docs: int = 5,
                           broadcast_budget: int = 4_000_000,
-                          num_parts: int = 64) -> ray.data.Dataset:
+                          num_parts: int = 64,
+                          scratch_dir: "str | None" = None) -> ray.data.Dataset:
     """Boilerplate REMOVAL (the companion of repeated_ngrams):
     drop every word covered by a k-gram that appears in ≥ min_docs
     documents. The hot-gram set is derived DISTRIBUTED
     (``hot_gram_hashes``: streamed gram emit + fixed-partition
     count) and then applied one of two ways, chosen by its actual
-    size (materialized as bare int64 hashes — vocabulary-, not
-    corpus-, sized — so the count is free and neither path
-    re-derives):
+    size. The hot table is STAGED to Parquet once (util.stage_dir
+    lifecycle/topology rules) and both the count and the chosen path
+    stream from the staged files — the over-budget route, whose whole
+    point is never holding the hot set in one place, no longer pays
+    an object-store pin just to learn the count, and the derivation
+    never re-executes per consumer:
 
     - ``≤ broadcast_budget`` hashes (default 4M ≈ 32 MB): broadcast
       the set once via the object store; each doc's coverage mask is
@@ -626,10 +630,12 @@ def strip_repeated_ngrams(sf_dir: str, k: int = 5, min_docs: int = 5,
     Both paths emit identical rows (equivalence-tested). Output:
     (doc_id, clean_text, n_removed)."""
     from .dedup import MinHasher, shingles
-    from .util import attach_column
+    from .util import attach_column, stage_dir
 
-    hot_mat = hot_gram_hashes(sf_dir, k, min_docs, num_parts).materialize()
-    n_hot = hot_mat.count()
+    hot_dir = stage_dir(scratch_dir, "hot_grams")
+    hot_gram_hashes(sf_dir, k, min_docs, num_parts).write_parquet(hot_dir)
+    hot_ds = sized_read_parquet(hot_dir, columns=["h"])
+    n_hot = hot_ds.count()  # metadata count over staged files — no pin
     docs = sized_read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
@@ -663,9 +669,11 @@ def strip_repeated_ngrams(sf_dir: str, k: int = 5, min_docs: int = 5,
         )
 
     if n_hot <= broadcast_budget:
+        # the ONE deliberate driver materialization: ≤ budget bare
+        # int64 hashes (default 4M ≈ 32 MB), put once, read per actor
         hot = {
             row["h"] + (1 << 63)                  # back to raw uint64 ints
-            for row in hot_mat.take_all()
+            for row in hot_ds.take_all()
         }
         hot_ref = ray.put(frozenset(hot))
 
@@ -782,7 +790,7 @@ def strip_repeated_ngrams(sf_dir: str, k: int = 5, min_docs: int = 5,
     grams = docs.map_batches(stateful(PosEmitter),
                              batch_format="pyarrow", batch_size=None)
     matched = partitioned_groups(
-        grams.union(hot_mat.map_batches(
+        grams.union(hot_ds.map_batches(
             tag_hot, batch_format="pyarrow", batch_size=None)),
         match_part, mid_schema=mid, num_parts=num_parts,
     )
