@@ -267,3 +267,100 @@ class TestInShardPurgeEquivalence:
         }
         assert plan_tombs == join_tombs
         assert len(plan_tombs) == 46
+
+
+def _politeness_by_shard(checkpoint_dir):
+    """shard_id → canonical politeness JSON from committed ckpts."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = {}
+    for path in glob.glob(os.path.join(checkpoint_dir, "shard-*.parquet")):
+        row = pq.read_table(path).to_pylist()[0]
+        out[row["shard_id"]] = row["politeness_bytes"]
+    return out
+
+
+class TestKillAndResume:
+    """SURVEY §7.4.6 fault claims: a mid-run worker kill or a lost
+    shard-checkpoint commit must converge to the uninterrupted run's
+    URL-seen set AND politeness budgets (the T2 restore claim)."""
+
+    def test_fetch_actor_sigkill_mid_run(self, ray_session, tmp_path):
+        """SIGKILL one fetch actor's worker process mid-batch: Ray
+        restarts the actor and retries the bundle (stateless fetch),
+        so the run completes with output identical to a clean run."""
+        import os
+        import signal
+
+        import ftw_crawler_ray.pipelines.crawl as crawl_mod
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        ref = tmp_path / "ref"
+        ref_summary = crawl(SF, out_dir=str(ref), num_shards=4,
+                            checkpoint_dir=str(ref / "ckpt"))
+        ref_seen = read_seen_set(str(ref / "ckpt"))
+
+        marker = str(tmp_path / "killed_once")
+        orig = crawl_mod.FetchActor
+
+        class KillingFetchActor(orig):
+            def __call__(self, batch):
+                try:
+                    fd = os.open(marker, os.O_CREAT | os.O_EXCL)
+                    os.close(fd)
+                    os.kill(os.getpid(), signal.SIGKILL)  # die mid-batch
+                except FileExistsError:
+                    pass
+                return super().__call__(batch)
+
+        kill = tmp_path / "kill"
+        crawl_mod.FetchActor = KillingFetchActor
+        try:
+            summary = crawl(SF, out_dir=str(kill), num_shards=4,
+                            checkpoint_dir=str(kill / "ckpt"))
+        finally:
+            crawl_mod.FetchActor = orig
+
+        assert os.path.exists(marker)  # the kill actually fired
+        assert summary["fetch_counts"] == ref_summary["fetch_counts"]
+        assert summary["plan_counts"] == ref_summary["plan_counts"]
+        assert read_seen_set(str(kill / "ckpt")) == ref_seen
+        assert (_politeness_by_shard(str(kill / "ckpt"))
+                == _politeness_by_shard(str(ref / "ckpt")))
+
+    def test_lost_shard_checkpoint_commit_rerun_converges(self, ray_session,
+                                                          tmp_path):
+        """Crash between commit_checkpoints renames: one shard's
+        committed checkpoint vanishes. The re-run re-schedules exactly
+        that shard's URLs (they are no longer 'seen') and converges to
+        the uninterrupted run's seen set and politeness budgets."""
+        import glob
+        import os
+
+        from ftw_crawler_ray.pipelines.crawl import crawl
+
+        ref = tmp_path / "ref"
+        crawl(SF, out_dir=str(ref), num_shards=4,
+              checkpoint_dir=str(ref / "ckpt"))
+        ref_seen = read_seen_set(str(ref / "ckpt"))
+        ref_pol = _politeness_by_shard(str(ref / "ckpt"))
+
+        faulty = tmp_path / "faulty"
+        crawl(SF, out_dir=str(faulty), num_shards=4,
+              checkpoint_dir=str(faulty / "ckpt"))
+        # drop one shard's commit (simulated partial-commit crash)
+        victim = sorted(
+            glob.glob(str(faulty / "ckpt" / "shard-*.parquet")))[1]
+        os.remove(victim)
+        assert read_seen_set(str(faulty / "ckpt")) < ref_seen
+
+        s2 = crawl(SF, out_dir=str(faulty / "rerun"), num_shards=4,
+                   checkpoint_dir=str(faulty / "ckpt"))
+        # the lost shard's urls were really re-fetched, the rest dup'd
+        assert s2["fetch_counts"].get("fetched", 0) > 0
+        assert s2["plan_counts"]["dup"] > 0
+        assert read_seen_set(str(faulty / "ckpt")) == ref_seen
+        assert _politeness_by_shard(str(faulty / "ckpt")) == ref_pol
