@@ -141,6 +141,32 @@ def stress_dedup():
     }
 
 
+def stress_dedup200():
+    """200× EXACT-dup clique corpus (100k docs, 500 cliques × 200
+    identical texts): dedup_clusters must collapse each clique in the
+    exact stage (one keeper, 199 int edges) — the r3 composition
+    guard, re-run after the r5 unpinning."""
+    import pyarrow.compute as pac
+
+    from ftw_crawler_ray.stages.dedup import dedup_clusters
+
+    d = "/tmp/stress_dedup200"
+    src = pq.read_table("/root/testdata/sf0.01/documents.parquet",
+                        columns=["doc_id", "text"])
+    reps = [
+        pa.table({"doc_id": pac.add(src["doc_id"], rep * 1_000_003),
+                  "text": src["text"]})
+        for rep in range(200)
+    ]
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.concat_tables(reps),
+                   os.path.join(d, "documents.parquet"))
+    n, secs = _timed(lambda: dedup_clusters(d).count())
+    shutil.rmtree(d)
+    return {"docs": src.num_rows * 200, "cluster_rows": n,
+            "sec": round(secs, 2)}
+
+
 def stress_corpus_prep():
     """The full quality→dedup→pack composition on the 40x dup-heavy
     corpus: dominated by the dedup stage, so wall time must track the
@@ -220,8 +246,8 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     fn = {"sessionize": stress_sessionize, "windows": stress_windows,
-          "dedup": stress_dedup, "corpus_prep": stress_corpus_prep,
-          "topk": stress_topk}[which]
+          "dedup": stress_dedup, "dedup200": stress_dedup200,
+          "corpus_prep": stress_corpus_prep, "topk": stress_topk}[which]
     out = fn()
     out["stress"] = which
     out["num_cpus"] = cpus
